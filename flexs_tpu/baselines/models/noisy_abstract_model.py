@@ -1,0 +1,274 @@
+"""Noisy abstract model: a tunable-quality surrogate around a true landscape.
+
+Parity contract (reference baselines/models/noisy_abstract_model.py):
+  * name "NAMb_ss{signal_strength}" (:36).
+  * `train` caches measured (sequence, label) pairs (:62-67).
+  * For a cached query, return the cached value (:73-75).
+  * For an uncached query: d = distance to nearest cached neighbor (:42-60),
+    alpha = ss^d, fitness = alpha * f(x) + (1 - alpha) * eps where eps is
+    Exp(mean = nearest neighbor's true fitness), or a random cached value if
+    that fitness is negative (:80-94).  New predictions are themselves cached
+    so repeated queries are deterministic (:96-99).
+  * The model queries the true landscape through the public `get_fitness`,
+    so landscape cost increases by 2 per new query (signal + neighbor).
+
+TPU-first design: the reference scans its cache with per-pair C editdistance
+calls inside a Python loop — O(|cache|) latency per query.  Here the cache
+lives on device as a fixed-capacity token buffer (capacity doubles like a
+vector, so only O(log N) compiled shapes exist) and nearest-neighbor search
+for a whole query batch is ONE MXU matmul over bucketed shapes.  FLEXS
+problems are fixed-length with substitution-only operators, so Hamming ==
+Levenshtein on realized data; an exact-DP fallback handles mixed lengths
+(`ops.hamming.edit_distance_matrix`).
+"""
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flexs_tpu.landscape import Landscape
+from flexs_tpu.model import Model
+from flexs_tpu.ops.hamming import edit_distance_matrix
+from flexs_tpu.ops.padding import next_bucket, pad_rows
+from flexs_tpu.types import SEQUENCES_TYPE
+
+# Distance kernels one-hot over a fixed symbol budget so alphabet growth
+# never triggers a recompile.  30 usable ids (covers AAS=20) + 1 pad id.
+_SYMBOL_CAP = 32
+_PAD_ID = _SYMBOL_CAP - 1
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _cache_insert(cache, rows, n):
+    """Scatter `rows` into `cache` starting at row `n` (donated in place)."""
+    return jax.lax.dynamic_update_slice(cache, rows, (n, 0))
+
+
+@jax.jit
+def _nearest(queries, cache, n_cache):
+    """(min distance, argmin) of queries vs the first `n_cache` cache rows.
+
+    One bf16 one-hot contraction on the MXU; padded cache rows are masked
+    out with +inf before the row-wise min.
+    """
+    length = queries.shape[-1]
+    q1 = jax.nn.one_hot(queries, _SYMBOL_CAP, dtype=jnp.bfloat16).reshape(
+        queries.shape[0], -1
+    )
+    c1 = jax.nn.one_hot(cache, _SYMBOL_CAP, dtype=jnp.bfloat16).reshape(
+        cache.shape[0], -1
+    )
+    matches = jnp.dot(q1, c1.T, preferred_element_type=jnp.float32)
+    dists = length - matches
+    valid = jnp.arange(cache.shape[0]) < n_cache
+    dists = jnp.where(valid[None, :], dists, jnp.inf)
+    return jnp.min(dists, axis=1).astype(jnp.int32), jnp.argmin(dists, axis=1)
+
+
+class NoisyAbstractModel(Model):
+    r"""Ground-truth landscape corrupted by distance-modulated noise.
+
+    $\hat f(x) = \alpha^d f(x) + (1 - \alpha^d)\,\epsilon$, with $d$ the
+    distance to the closest measured sequence and $\alpha$ the signal
+    strength.
+    """
+
+    def __init__(
+        self,
+        landscape: Landscape,
+        signal_strength: float = 0.9,
+        seed: Optional[int] = None,
+    ):
+        """Create a noisy abstract model around `landscape`.
+
+        Args:
+            landscape: The ground truth oracle.
+            signal_strength: Alpha in [0, 1]; 1 = perfect model.
+            seed: Optional seed for the noise generator (the reference uses
+                unseeded global numpy randomness).
+        """
+        super().__init__(f"NAMb_ss{signal_strength}")
+
+        self.landscape = landscape
+        self.ss = signal_strength
+        self.cache = {}
+        self._rng = np.random.default_rng(seed)
+
+        # Stable byte -> compact token mapping (persists across calls so
+        # compiled shapes never depend on which symbols have been seen).
+        self._byte_map = np.full(256, -1, dtype=np.int32)
+        self._next_id = 0
+
+        self._cache_seqs = []
+        self._dev_cache = None  # int32[capacity, L] device buffer
+        self._capacity = 0
+        self._length = None  # uniform sequence length, None if mixed
+        self._mixed_rows = None  # host fallback matrix when lengths mixed
+
+    # -- tokenization ---------------------------------------------------------
+    def _tokenize(self, sequences):
+        raw = np.frombuffer("".join(sequences).encode("ascii"), dtype=np.uint8)
+        new_bytes = np.unique(raw[self._byte_map[raw] < 0])
+        for b in new_bytes:
+            if self._next_id >= _SYMBOL_CAP - 1:
+                raise ValueError("NoisyAbstractModel supports <= 31 distinct symbols")
+            self._byte_map[b] = self._next_id
+            self._next_id += 1
+        return self._byte_map[raw]
+
+    # -- cache maintenance ------------------------------------------------------
+    def _append_cache(self, sequences):
+        if not sequences:
+            return
+        lengths = {len(s) for s in sequences}
+        if self._length is None and self._mixed_rows is None:
+            self._length = lengths.pop() if len(lengths) == 1 else None
+        if self._length is not None and (
+            len(lengths) > 1 or (lengths and lengths != {self._length})
+        ):
+            # Fall back to the exact-DP host path for mixed lengths.
+            self._to_mixed_mode()
+
+        if self._length is not None:
+            tokens = self._tokenize(sequences).reshape(len(sequences), self._length)
+            n = len(self._cache_seqs)
+            needed = n + len(tokens)
+            if needed > self._capacity:
+                new_cap = next_bucket(needed, minimum=4096)
+                old = (
+                    np.asarray(self._dev_cache)[:n]
+                    if self._dev_cache is not None
+                    else np.zeros((0, self._length), np.int32)
+                )
+                host = np.full((new_cap, self._length), _PAD_ID, np.int32)
+                host[:n] = old
+                self._dev_cache = jnp.asarray(host)
+                self._capacity = new_cap
+            bucket = next_bucket(len(tokens), minimum=64)
+            rows = pad_rows(tokens.astype(np.int32), bucket, fill=_PAD_ID)
+            self._dev_cache = _cache_insert(
+                self._dev_cache, jnp.asarray(rows), np.int32(n)
+            )
+        else:
+            self._append_mixed(sequences)
+        self._cache_seqs.extend(sequences)
+
+    def _to_mixed_mode(self):
+        self._mixed_rows = None
+        self._length = None
+        self._dev_cache = None
+        self._capacity = 0
+        saved, self._cache_seqs = self._cache_seqs, []
+        self._append_mixed(saved)
+        self._cache_seqs = saved
+
+    def _append_mixed(self, sequences):
+        if not sequences:
+            return
+        width = max(len(s) for s in sequences)
+        if self._mixed_rows is not None:
+            width = max(width, self._mixed_rows.shape[1])
+        mat = np.full((len(sequences), width), -1, dtype=np.int32)
+        for i, s in enumerate(sequences):
+            mat[i, : len(s)] = self._tokenize([s])
+        if self._mixed_rows is None:
+            self._mixed_rows = mat
+        else:
+            old = self._mixed_rows
+            if old.shape[1] < width:
+                pad = np.full((old.shape[0], width - old.shape[1]), -1, np.int32)
+                old = np.concatenate([old, pad], axis=1)
+            self._mixed_rows = np.concatenate([old, mat], axis=0)
+
+    def train(self, sequences: SEQUENCES_TYPE, labels: np.ndarray):
+        """Cache measured (sequence, label) pairs for future lookup."""
+        fresh = [s for s in sequences if s not in self.cache]
+        self.cache.update(zip(sequences, labels))
+        seen = set()
+        fresh_unique = [s for s in fresh if not (s in seen or seen.add(s))]
+        self._append_cache(fresh_unique)
+
+    # -- distance search ----------------------------------------------------------
+    def _min_distances(self, sequences):
+        """Batched (distance, neighbor sequence) to the current cache."""
+        if not self._cache_seqs:
+            # Reference :44-45: empty cache => distance 0, neighbor = self.
+            return np.zeros(len(sequences), dtype=np.int64), list(sequences)
+
+        uniform = self._length is not None and all(
+            len(s) == self._length for s in sequences
+        )
+        if uniform:
+            tokens = self._tokenize(sequences).reshape(len(sequences), self._length)
+            bucket = next_bucket(len(tokens), minimum=64)
+            q = pad_rows(tokens.astype(np.int32), bucket, fill=_PAD_ID)
+            mins, idx = _nearest(
+                jnp.asarray(q), self._dev_cache, np.int32(len(self._cache_seqs))
+            )
+            mins = np.asarray(mins)[: len(sequences)]
+            idx = np.asarray(idx)[: len(sequences)]
+        else:
+            if self._mixed_rows is None:
+                self._to_mixed_mode()
+            width = self._mixed_rows.shape[1]
+            qwidth = max(width, max(len(s) for s in sequences))
+            q = np.full((len(sequences), qwidth), -1, dtype=np.int32)
+            for i, s in enumerate(sequences):
+                q[i, : len(s)] = self._tokenize([s])
+            c = self._mixed_rows
+            if c.shape[1] < qwidth:
+                pad = np.full((c.shape[0], qwidth - c.shape[1]), -1, np.int32)
+                c = np.concatenate([c, pad], axis=1)
+            dists = edit_distance_matrix(q, c)
+            idx = np.argmin(dists, axis=1)
+            mins = dists[np.arange(len(sequences)), idx]
+
+        return mins.astype(np.int64), [self._cache_seqs[i] for i in idx]
+
+    # -- fitness --------------------------------------------------------------------
+    def _fitness_function(self, sequences):
+        sequences = np.array(sequences)
+        fitnesses = np.empty(len(sequences))
+
+        cached = np.array([seq in self.cache for seq in sequences])
+        fitnesses[cached] = np.array(
+            [self.cache[seq] for seq in sequences[cached]]
+        )
+
+        uncached = [str(s) for s in sequences[~cached]]
+        if uncached:
+            distances, neighbors = self._min_distances(uncached)
+
+            # One batched oracle call each for signals and neighbor values
+            # (reference makes 2 singleton calls per sequence — same cost,
+            # vastly fewer host<->device round trips).
+            signals = np.asarray(
+                self.landscape.get_fitness(uncached), dtype=np.float64
+            )
+            neighbor_fit = np.asarray(
+                self.landscape.get_fitness(neighbors), dtype=np.float64
+            )
+
+            noise = np.where(
+                neighbor_fit >= 0,
+                self._rng.exponential(scale=np.maximum(neighbor_fit, 0) + 1e-300),
+                0.0,
+            )
+            neg = neighbor_fit < 0
+            if neg.any():
+                values = list(self.cache.values())
+                noise[neg] = self._rng.choice(values, size=int(neg.sum()))
+
+            alpha = self.ss ** distances.astype(np.float64)
+            new_fitnesses = alpha * signals + (1 - alpha) * noise
+            fitnesses[~cached] = new_fitnesses
+
+            # Cache predictions for determinism (reference :96-99).
+            self.cache.update(zip(uncached, new_fitnesses))
+            seen = set()
+            fresh = [s for s in uncached if not (s in seen or seen.add(s))]
+            self._append_cache(fresh)
+
+        return np.array(fitnesses)
