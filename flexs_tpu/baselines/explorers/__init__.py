@@ -1,3 +1,7 @@
 """Baseline explorers."""
 from flexs_tpu.baselines.explorers.adalead import Adalead  # noqa: F401
+from flexs_tpu.baselines.explorers.cmaes import CMAES  # noqa: F401
+from flexs_tpu.baselines.explorers.genetic_algorithm import (  # noqa: F401
+    GeneticAlgorithm,
+)
 from flexs_tpu.baselines.explorers.random import Random  # noqa: F401

@@ -2,16 +2,24 @@
 
 Tests run on CPU with 8 virtual devices so multi-chip sharding paths compile
 and execute without TPU hardware (the reference has no distributed tests at
-all; see SURVEY.md §4).  Must run before jax initializes.
+all; see SURVEY.md §4).
+
+Note: a site-level PJRT plugin may register a remote TPU backend at
+interpreter start and force `jax_platforms` via `jax.config.update`, which
+overrides the JAX_PLATFORMS env var.  `jax.config.update` below wins over
+both; XLA_FLAGS must still be set before the CPU backend initializes.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
