@@ -1,6 +1,8 @@
 """Baseline explorers."""
 from flexs_tpu.baselines.explorers.adalead import Adalead  # noqa: F401
+from flexs_tpu.baselines.explorers.cbas_dbas import CbAS  # noqa: F401
 from flexs_tpu.baselines.explorers.cmaes import CMAES  # noqa: F401
+from flexs_tpu.baselines.explorers.dqn import DQN  # noqa: F401
 from flexs_tpu.baselines.explorers.genetic_algorithm import (  # noqa: F401
     GeneticAlgorithm,
 )
