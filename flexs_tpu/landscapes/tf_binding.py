@@ -81,6 +81,16 @@ def _gather_scores(table, idx):
     return table[idx]
 
 
+def device_fitness_fn(table, tokens) -> jnp.ndarray:
+    """Pure, jit-stable fitness: score table gather over token indices.
+
+    Module-level so fused runners (flexs_tpu.runtime.jit_runner) can key
+    their jit caches on a stable function identity; `table` is traced, so
+    sweeps vmap over stacked tables.
+    """
+    return table[_tokens_to_index(tokens)]
+
+
 def table_from_tsv(landscape_file: str) -> np.ndarray:
     """Build a dense float32[4^8] score table from a reference-format TSV.
 
@@ -139,6 +149,10 @@ class TFBinding(Landscape):
     def fitness_from_tokens(self, tokens) -> jnp.ndarray:
         """Device fast path: gather scores for int[batch, 8] DNA tokens."""
         return _gather_scores(self.table, _tokens_to_index(tokens))
+
+    def device_fitness(self):
+        """(pure fitness fn, params) pair for fused device runners."""
+        return device_fitness_fn, self.table
 
     def _fitness_function(self, sequences: SEQUENCES_TYPE) -> np.ndarray:
         tokens = _DNA.encode(list(sequences))

@@ -1,0 +1,177 @@
+"""Sharded sweep engine: many Adalead+NAM runs as one device program.
+
+The reference's evaluators loop serially over sweep cells
+(reference evaluate.py:27-36) and its paper experiments scaled out with
+independent cloud VMs (paper_code/cloud/runner.py:90-126).  Here a whole
+grid — landscape x starting sequence x signal strength x seed — executes as
+ONE jitted, vmapped program whose cell axis is sharded over the device mesh:
+each TPU chip runs its shard of cells in lockstep, with zero inter-chip
+communication (the workload is embarrassingly parallel at the cell level,
+matching the reference's VM pattern but on-device).
+
+Score tables are NOT replicated per cell: every lane carries only an index
+into the shared stacked table array, so a 158-landscape sweep holds one
+[158, 65536] f32 array regardless of grid size.
+"""
+from functools import partial
+from typing import List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flexs_tpu.alphabet import Alphabet, as_alphabet
+from flexs_tpu.runtime.jit_runner import AdaleadConfig, RunResult, run_adalead_nam
+
+
+def _indexed_table_fitness(params, tokens):
+    """Fitness via shared stacked tables: params = (tables, cell_index)."""
+    tables, idx = params
+    powers = 4 ** jnp.arange(tokens.shape[-1] - 1, -1, -1, dtype=jnp.int32)
+    flat = jnp.sum(tokens * powers, axis=-1)
+    return tables[idx, flat]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _sweep_impl(tables, table_idx, start_tokens, signal_strengths, keys, cfg):
+    def one_cell(idx, start, ss, key):
+        return run_adalead_nam(
+            _indexed_table_fitness, (tables, idx), start, cfg, ss, key
+        )
+
+    return jax.vmap(one_cell)(table_idx, start_tokens, signal_strengths, keys)
+
+
+def sweep_adalead_nam(
+    tables,
+    table_idx,
+    start_tokens,
+    signal_strengths,
+    seeds,
+    cfg: AdaleadConfig,
+    mesh: Optional[Mesh] = None,
+) -> RunResult:
+    """Run a flat batch of C sweep cells on device.
+
+    Args:
+        tables: f32[num_landscapes, 4^L] stacked score tables (shared).
+        table_idx: int32[C] landscape index per cell.
+        start_tokens: int32[C, L] starting sequence per cell.
+        signal_strengths: f32[C] NAM alpha per cell.
+        seeds: int[C] PRNG seed per cell.
+        cfg: Static Adalead configuration (same for every cell).
+        mesh: Optional mesh with a "cells" axis to shard the cell batch
+            over; tables are replicated.
+
+    Returns:
+        `RunResult` with a leading cell axis on every field.
+    """
+    tables = jnp.asarray(tables, jnp.float32)
+    table_idx = jnp.asarray(table_idx, jnp.int32)
+    start_tokens = jnp.asarray(start_tokens, jnp.int32)
+    signal_strengths = jnp.asarray(signal_strengths, jnp.float32)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
+
+    if mesh is not None:
+        cell_sharding = NamedSharding(mesh, P("cells"))
+        replicated = NamedSharding(mesh, P())
+        tables = jax.device_put(tables, replicated)
+        table_idx = jax.device_put(table_idx, cell_sharding)
+        start_tokens = jax.device_put(start_tokens, cell_sharding)
+        signal_strengths = jax.device_put(signal_strengths, cell_sharding)
+        keys = jax.device_put(keys, cell_sharding)
+
+    return _sweep_impl(
+        tables, table_idx, start_tokens, signal_strengths, keys, cfg
+    )
+
+
+class SweepCell(NamedTuple):
+    """One sweep cell: landscape name index, start, signal strength, seed."""
+
+    landscape: str
+    start: str
+    signal_strength: float
+    seed: int
+
+
+def run_robustness_sweep(
+    landscape_names: Sequence[str],
+    starts: Sequence[str],
+    signal_strengths: Sequence[float] = (0.0, 0.5, 0.75, 0.9, 1.0),
+    seeds: Sequence[int] = (0,),
+    rounds: int = 10,
+    sequences_batch_size: int = 100,
+    model_queries_per_batch: int = 2000,
+    mesh: Optional[Mesh] = None,
+    alphabet="TGCA",
+) -> pd.DataFrame:
+    """Robustness evaluator over TF-binding landscapes as one sharded sweep.
+
+    The on-device analog of reference evaluate.robustness (evaluate.py:8-37)
+    crossed with the landscape/start grid of the paper's cloud runner.
+    Returns a summary DataFrame with one row per cell (max/final fitness,
+    costs) — the quantities the reference's analysis notebooks extract from
+    per-run CSVs.
+    """
+    from flexs_tpu.landscapes import tf_binding
+
+    alpha: Alphabet = as_alphabet(alphabet)
+    names, packed = tf_binding._packed_tables()
+    name_to_idx = {n: i for i, n in enumerate(names)}
+    used = sorted({name_to_idx[n] for n in landscape_names})
+    tables = np.asarray(packed)[used]
+    local_idx = {names[i]: j for j, i in enumerate(used)}
+
+    cells: List[SweepCell] = [
+        SweepCell(ln, st, ss, sd)
+        for ln in landscape_names
+        for st in starts
+        for ss in signal_strengths
+        for sd in seeds
+    ]
+    table_idx = np.array([local_idx[c.landscape] for c in cells], np.int32)
+    start_tokens = alpha.encode([c.start for c in cells])
+    ss_arr = np.array([c.signal_strength for c in cells], np.float32)
+    seed_arr = np.array([c.seed for c in cells], np.int64)
+
+    if mesh is not None:
+        # Pad the cell count to a multiple of the mesh size.
+        n_dev = mesh.devices.size
+        pad = (-len(cells)) % n_dev
+        if pad:
+            table_idx = np.concatenate([table_idx, table_idx[:pad]])
+            start_tokens = np.concatenate([start_tokens, start_tokens[:pad]])
+            ss_arr = np.concatenate([ss_arr, ss_arr[:pad]])
+            seed_arr = np.concatenate([seed_arr, seed_arr[:pad]])
+
+    cfg = AdaleadConfig(
+        rounds=rounds,
+        sequences_batch_size=sequences_batch_size,
+        model_queries_per_batch=model_queries_per_batch,
+        alphabet_size=len(alpha),
+    )
+    result = sweep_adalead_nam(
+        tables, table_idx, start_tokens, ss_arr, seed_arr, cfg, mesh=mesh
+    )
+    result = jax.tree.map(np.asarray, result)
+
+    truth = np.where(result.proposal_valid, result.proposal_truth, -np.inf)
+    max_fitness = np.maximum(truth.max(axis=(1, 2)), result.start_truth)
+    rows = []
+    for i, c in enumerate(cells):
+        rows.append(
+            {
+                "landscape": c.landscape,
+                "start": c.start,
+                "signal_strength": c.signal_strength,
+                "seed": c.seed,
+                "max_fitness": float(max_fitness[i]),
+                "start_fitness": float(result.start_truth[i]),
+                "model_cost": int(result.model_cost[i, -1]),
+                "landscape_cost": int(result.landscape_cost[i, -1]),
+            }
+        )
+    return pd.DataFrame(rows)

@@ -1,0 +1,6 @@
+"""On-device runtime: fully-jitted run loops and sharded sweep engines."""
+from flexs_tpu.runtime.jit_runner import (  # noqa: F401
+    AdaleadConfig,
+    DeviceAdaleadNAM,
+    run_adalead_nam,
+)
