@@ -1,5 +1,6 @@
 """Baseline explorers."""
 from flexs_tpu.baselines.explorers.adalead import Adalead  # noqa: F401
+from flexs_tpu.baselines.explorers.bo import BO, GPR_BO  # noqa: F401
 from flexs_tpu.baselines.explorers.cbas_dbas import CbAS  # noqa: F401
 from flexs_tpu.baselines.explorers.cmaes import CMAES  # noqa: F401
 from flexs_tpu.baselines.explorers.dqn import DQN  # noqa: F401

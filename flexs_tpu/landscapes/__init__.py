@@ -1,3 +1,8 @@
 """Ground-truth landscapes and their problem registries."""
-from flexs_tpu.landscapes import tf_binding  # noqa: F401
+from flexs_tpu.landscapes import additive_aav_packaging  # noqa: F401
+from flexs_tpu.landscapes import rna, tf_binding  # noqa: F401
+from flexs_tpu.landscapes.additive_aav_packaging import (  # noqa: F401
+    AdditiveAAVPackaging,
+)
+from flexs_tpu.landscapes.rna import RNABinding, RNAFolding  # noqa: F401
 from flexs_tpu.landscapes.tf_binding import TFBinding  # noqa: F401

@@ -1,0 +1,139 @@
+"""RNA landscape tests.
+
+The reference's RNA test needs ViennaRNA installed (tests/test_landscapes.py:16-28).
+Here the landscape is self-contained; agreement with the real ViennaRNA is
+checked against oracle outputs shipped with the reference
+(examples/robustness/adalead/*.csv — ~2.4k sequences scored by the C
+library for the L14_RNA1 problem).
+"""
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import flexs_tpu as flexs
+from flexs_tpu.landscapes import rna
+
+REFERENCE_CSVS = "/root/reference/examples/robustness/adalead/*.csv"
+
+
+def test_registry_has_36_problems():
+    problems = rna.registry()
+    assert len(problems) == 36
+    assert "L14_RNA1" in problems
+    assert "L100_RNA1+2" in problems
+    assert "C20_L100_RNA1+2" in problems
+    # Conserved problems carry the swampland region.
+    assert problems["C20_L100_RNA1+2"]["params"]["conserved_region"]["start"] == 21
+
+
+def test_rna_binding_basic_properties():
+    problem = rna.registry()["L14_RNA1"]
+    landscape = rna.RNABinding(**problem["params"])
+    starts = list(problem["starts"].values())
+    scores = landscape.get_fitness(starts)
+    assert scores.shape == (5,)
+    assert np.isfinite(scores).all()
+    assert landscape.cost == 5
+    # The first start is a subsequence match to the target's complement
+    # region and should bind well.
+    assert scores[0] > 0.3
+
+
+def test_rna_binding_wrong_length_raises():
+    problem = rna.registry()["L14_RNA1"]
+    landscape = rna.RNABinding(**problem["params"])
+    with pytest.raises(ValueError):
+        landscape.get_fitness(["ACGU"])
+
+
+def test_rna_binding_perfect_complement_scores_near_one():
+    target = rna.registry()["L14_RNA1"]["params"]["targets"][0]
+    landscape = rna.RNABinding(targets=[target], seq_length=14)
+    comp = {"A": "U", "C": "G", "G": "C", "U": "A"}
+    # Complement of a 14-nt window of the target, reversed.
+    window = target[40:54]
+    complement = "".join(comp[x] for x in window)[::-1]
+    score = landscape.get_fitness([complement])[0]
+    assert score > 0.6
+
+
+def test_conserved_region_swampland():
+    problems = rna.registry()
+    problem = problems["C20_L100_RNA1+2"]
+    landscape = rna.RNABinding(**problem["params"])
+    good = problem["starts"][1]  # starts contain the conserved pattern
+    bad = "A" * 100
+    scores = landscape.get_fitness([good, bad])
+    assert scores[0] != 0
+    assert scores[1] == 0
+
+
+def test_multi_target_is_mean_of_singles():
+    problems = rna.registry()
+    p2 = problems["L14_RNA1+2"]["params"]
+    landscape_both = rna.RNABinding(**p2)
+    l1 = rna.RNABinding(targets=[p2["targets"][0]], seq_length=14)
+    l2 = rna.RNABinding(targets=[p2["targets"][1]], seq_length=14)
+    seqs = list(problems["L14_RNA1"]["starts"].values())
+    both = landscape_both.get_fitness(seqs)
+    mean_single = (l1.get_fitness(seqs) + l2.get_fitness(seqs)) / 2
+    np.testing.assert_allclose(both, mean_single, atol=1e-5)
+
+
+@pytest.mark.skipif(
+    not glob.glob(REFERENCE_CSVS), reason="reference oracle CSVs not available"
+)
+def test_agreement_with_viennarna_outputs():
+    data = {}
+    for f in sorted(glob.glob(REFERENCE_CSVS)):
+        df = pd.read_csv(f, skiprows=1)
+        for s, t in zip(df["sequence"], df["true_score"]):
+            data[s] = t
+    seqs = sorted(data.keys())
+    truth = np.array([data[s] for s in seqs])
+
+    problem = rna.registry()["L14_RNA1"]
+    landscape = rna.RNABinding(**problem["params"])
+    ours = landscape.get_fitness(seqs)
+
+    corr = np.corrcoef(ours, truth)[0, 1]
+    mae = np.abs(ours - truth).mean()
+    assert corr > 0.93, f"pearson {corr:.4f}"
+    assert mae < 0.07, f"MAE {mae:.4f}"
+
+
+def test_rna_folding_orders_structures():
+    landscape = rna.RNAFolding()
+    # A strong hairpin (stem of GC pairs) vs an unfoldable homopolymer.
+    hairpin = "GGGGGGAAAACCCCCC"
+    unstructured = "AAAAAAAAAAAAAAAA"
+    scores = landscape.get_fitness([hairpin, unstructured])
+    assert scores[0] > scores[1]
+    assert scores[1] <= 0.0 + 1e-6
+
+
+def test_rna_device_fitness_with_fused_runner():
+    from flexs_tpu.runtime import DeviceAdaleadNAM
+
+    problem = rna.registry()["L14_RNA1"]
+    landscape = rna.RNABinding(**problem["params"])
+    runner = DeviceAdaleadNAM(
+        landscape,
+        flexs.RNAA,
+        rounds=2,
+        sequences_batch_size=5,
+        model_queries_per_batch=20,
+        starting_sequence=problem["starts"][1],
+        signal_strength=1.0,
+        seed=0,
+    )
+    df, _ = runner.run(verbose=False)
+    assert df["round"].max() == 2
+    # ss=1: model scores equal true scores.
+    prop = df[df["round"] > 0]
+    np.testing.assert_allclose(
+        prop["model_score"].to_numpy(), prop["true_score"].to_numpy(), atol=1e-5
+    )
