@@ -1,0 +1,216 @@
+"""Tests for the PPO / DynaPPO RL stack.
+
+The reference ships NO test at all for PPO and only a smoke test for
+DynaPPO (tests/test_explorers.py:70-81); here the pure-JAX PPO core gets a
+learning-signal test on a bandit-like task plus env-semantics tests
+(SURVEY.md §4).
+"""
+import numpy as np
+import pytest
+
+import flexs_tpu as flexs
+from flexs_tpu.baselines.explorers.environments.dyna_ppo import DynaPPOEnvironment
+from flexs_tpu.baselines.explorers.environments.ppo import PPOEnvironment
+from flexs_tpu.rl.ppo import PPOAgent
+
+ROUNDS = 2
+BATCH = 5
+QUERIES = 20
+START = "TTGC"
+
+
+class FakeModel(flexs.Model):
+    def __init__(self):
+        super().__init__(name="FakeModel")
+        self.rng = np.random.default_rng(1)
+
+    def train(self, *args):
+        pass
+
+    def _fitness_function(self, sequences):
+        return self.rng.random(size=len(sequences))
+
+
+class CountTModel(flexs.Model):
+    """Deterministic smooth fitness: fraction of 'T's."""
+
+    def __init__(self):
+        super().__init__(name="CountT")
+
+    def train(self, *args):
+        pass
+
+    def _fitness_function(self, sequences):
+        return np.array([sum(c == "T" for c in s) / len(s) for s in sequences])
+
+
+class FakeLandscape(flexs.Landscape):
+    def __init__(self):
+        super().__init__(name="FakeLandscape")
+        self.rng = np.random.default_rng(0)
+
+    def _fitness_function(self, sequences):
+        return self.rng.random(size=len(sequences))
+
+
+# -- PPO core ----------------------------------------------------------------
+
+
+def test_ppo_agent_learns_bandit():
+    """The agent must learn to prefer the rewarded action."""
+    agent = PPOAgent(
+        obs_dim=4, num_actions=3, learning_rate=3e-3, train_epochs=5, seed=0
+    )
+    obs = np.ones((64, 4), np.float32)
+    for _ in range(30):
+        actions, logprobs, values = agent.act(obs)
+        rewards = (actions == 2).astype(np.float32)
+        agent.train(
+            {
+                "obs": obs,
+                "actions": actions,
+                "logprobs": logprobs,
+                "rewards": rewards,
+                "dones": np.ones(64, bool),
+                "values": values,
+            }
+        )
+    actions, _, _ = agent.act(obs)
+    assert (actions == 2).mean() > 0.8
+
+
+def test_ppo_gae_stops_at_episode_boundary():
+    agent = PPOAgent(obs_dim=2, num_actions=2, gamma=1.0, gae_lambda=1.0)
+    rewards = np.array([0.0, 1.0, 5.0], np.float32)
+    values = np.zeros(3, np.float32)
+    dones = np.array([False, True, True])
+    adv, returns = agent.compute_gae(rewards, values, dones)
+    # Episode 1 = steps 0-1 (return 1), episode 2 = step 2 (return 5).
+    np.testing.assert_allclose(returns, [1.0, 1.0, 5.0])
+
+
+# -- environments ------------------------------------------------------------
+
+
+def test_ppo_env_terminates_on_noop():
+    env = PPOEnvironment(flexs.DNAA, START, CountTModel(), max_num_steps=50)
+    env.reset()
+    tokens = env.alphabet.encode_one(START)
+    noop_action = 0 * len(env.alphabet) + tokens[0]
+    _, reward, done = env.step(int(noop_action))
+    assert done and reward == 0.0
+
+
+def test_ppo_env_terminates_on_fitness_decrease():
+    env = PPOEnvironment(flexs.DNAA, "TTTT", CountTModel(), max_num_steps=50)
+    env.reset()
+    a_idx = env.alphabet.letters.index("A")
+    # First mutation never triggers the decrease rule (previous = -inf).
+    _, reward, done = env.step(int(0 * len(env.alphabet) + a_idx))
+    assert not done and reward == pytest.approx(0.75)
+    # Second mutation drops fitness again: terminate with the new fitness.
+    _, reward, done = env.step(int(1 * len(env.alphabet) + a_idx))
+    assert done
+    assert reward == pytest.approx(0.5)
+
+
+def test_dyna_ppo_env_batched_episode():
+    model = CountTModel()
+    landscape = FakeLandscape()
+    env = DynaPPOEnvironment(flexs.DNAA, 4, model, landscape, batch_size=3)
+    obs = env.reset()
+    assert obs.shape == (3, 4 * 5)
+    done = False
+    steps = 0
+    while not done:
+        obs, rewards, done = env.step(np.zeros(3, np.int32))
+        steps += 1
+    assert steps == 4  # one residue per step, full length generated
+    assert model.cost == 3  # batch scored once on the surrogate
+    assert len(env.all_seqs) == 1  # all episodes chose the same residues
+
+
+def test_dyna_ppo_density_penalty():
+    model = CountTModel()
+    env = DynaPPOEnvironment(flexs.DNAA, 4, model, FakeLandscape(), batch_size=1)
+    env._density.update(["TTTT"], [1.0])
+    env._density.update(["TTTA"], [0.5])
+    # TTTG is distance 1 from TTTT and distance... 2 from TTTA? (1 vs T->G
+    # at pos 3 => d(TTTG, TTTA)=1). Both within radius.
+    d = env.sequence_density("TTTG")
+    assert d == pytest.approx(1.0 / 1 + 0.5 / 1)
+
+
+# -- explorers ---------------------------------------------------------------
+
+
+def _check(df):
+    assert df["round"].max() == ROUNDS
+    for r in range(1, ROUNDS + 1):
+        assert 0 < len(df[df["round"] == r]) <= BATCH
+
+
+def test_ppo_explorer_smoke():
+    explorer = flexs.baselines.explorers.PPO(
+        FakeModel(),
+        rounds=ROUNDS,
+        sequences_batch_size=BATCH,
+        model_queries_per_batch=QUERIES,
+        starting_sequence=START,
+        alphabet=flexs.DNAA,
+        seed=0,
+    )
+    df, _ = explorer.run(FakeLandscape(), verbose=False)
+    _check(df)
+
+
+def test_dyna_ppo_explorer_smoke():
+    landscape = FakeLandscape()
+    explorer = flexs.baselines.explorers.DynaPPO(
+        landscape,
+        rounds=ROUNDS,
+        sequences_batch_size=BATCH,
+        model_queries_per_batch=QUERIES,
+        starting_sequence=START,
+        alphabet=flexs.DNAA,
+        model=CountTModel(),  # skip the 11-member default ensemble for speed
+        env_batch_size=2,
+        seed=0,
+    )
+    df, _ = explorer.run(landscape, verbose=False)
+    _check(df)
+
+
+def test_dyna_ppo_mutative_smoke():
+    landscape = FakeLandscape()
+    explorer = flexs.baselines.explorers.DynaPPOMutative(
+        landscape,
+        rounds=ROUNDS,
+        sequences_batch_size=BATCH,
+        model_queries_per_batch=QUERIES,
+        starting_sequence=START,
+        alphabet=flexs.DNAA,
+        model=CountTModel(),
+        seed=0,
+    )
+    df, _ = explorer.run(landscape, verbose=False)
+    _check(df)
+
+
+def test_dyna_ppo_ensemble_r2_gating():
+    seqs = [
+        "".join(np.random.default_rng(i).choice(list("TGCA"), 8)) for i in range(40)
+    ]
+    labels = np.array([sum(c == "T" for c in s) / len(s) for s in seqs])
+
+    good = CountTModel()
+    bad = FakeModel()
+    ens = flexs.baselines.explorers.DynaPPOEnsemble(
+        8, flexs.DNAA, models=[good, bad], seed=0
+    )
+    ens.train(seqs, labels)
+    assert ens.r_squared_vals[0] > 0.9
+    assert ens.r_squared_vals[1] < 0.5
+    # Only the good model passes the gate, so predictions are exact.
+    preds = ens.get_fitness(seqs[:5])
+    np.testing.assert_allclose(preds, labels[:5], atol=1e-9)

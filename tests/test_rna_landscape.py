@@ -101,8 +101,10 @@ def test_agreement_with_viennarna_outputs():
 
     corr = np.corrcoef(ours, truth)[0, 1]
     mae = np.abs(ours - truth).mean()
-    assert corr > 0.93, f"pearson {corr:.4f}"
-    assert mae < 0.07, f"MAE {mae:.4f}"
+    # Calibrated model (scripts/calibrate_rna.py): holdout pearson 0.971,
+    # MAE 0.029; gate slightly below to absorb re-calibration jitter.
+    assert corr > 0.95, f"pearson {corr:.4f}"
+    assert mae < 0.05, f"MAE {mae:.4f}"
 
 
 def test_rna_folding_orders_structures():
