@@ -26,3 +26,4 @@ from flexs_tpu.ensemble import Ensemble  # noqa: F401
 from flexs_tpu.explorer import Explorer  # noqa: F401
 
 from flexs_tpu import baselines, evaluate, landscapes, utils  # noqa: F401
+from flexs_tpu import ops, parallel, rl, runtime  # noqa: F401

@@ -1,0 +1,99 @@
+"""Sweep CLI: the packaged replacement for the reference's cloud runners.
+
+The reference scaled experiments by launching one cloud VM per sweep cell
+with ad-hoc argparse scripts (reference paper_code/cloud/runner.py:90-126,
+unpackaged).  Here the same grids run as ONE mesh-sharded device program:
+
+    flexs-tpu-sweep --landscapes SIX6_REF_R1 VAX2_REF_R1 \
+        --starts 4 --signal-strengths 0 0.5 0.75 0.9 1 \
+        --rounds 10 --batch 100 --queries 2000 --out results.csv
+
+Cells are sharded over all visible devices; results are written as one
+summary CSV (per-cell max fitness and costs — the quantities the
+reference's analysis notebooks extract from per-run logs).
+"""
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    """Entry point for the `flexs-tpu-sweep` console script."""
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--landscapes",
+        nargs="+",
+        default=["SIX6_REF_R1"],
+        help="TF-binding landscape names (or 'all' for every packed table)",
+    )
+    parser.add_argument(
+        "--starts", type=int, default=2, help="number of starting sequences"
+    )
+    parser.add_argument(
+        "--signal-strengths",
+        nargs="+",
+        type=float,
+        default=[0.0, 0.5, 0.75, 0.9, 1.0],
+    )
+    parser.add_argument("--seeds", nargs="+", type=int, default=[0])
+    parser.add_argument("--rounds", type=int, default=10)
+    parser.add_argument("--batch", type=int, default=100)
+    parser.add_argument("--queries", type=int, default=2000)
+    parser.add_argument("--out", default=None, help="summary CSV path")
+    parser.add_argument(
+        "--no-mesh", action="store_true", help="run unsharded (single device)"
+    )
+    args = parser.parse_args(argv)
+
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from flexs_tpu.landscapes import tf_binding
+    from flexs_tpu.parallel import run_robustness_sweep
+
+    names = args.landscapes
+    if names == ["all"]:
+        names = list(tf_binding.registry().keys())
+    starts = tf_binding.STARTS[: args.starts]
+
+    mesh = None
+    if not args.no_mesh:
+        mesh = Mesh(np.array(jax.devices()), ("cells",))
+
+    n_cells = len(names) * len(starts) * len(args.signal_strengths) * len(args.seeds)
+    print(
+        f"sweep: {len(names)} landscapes x {len(starts)} starts x "
+        f"{len(args.signal_strengths)} signal strengths x {len(args.seeds)} "
+        f"seeds = {n_cells} cells on {len(jax.devices())} device(s)"
+    )
+
+    t0 = time.time()
+    df = run_robustness_sweep(
+        landscape_names=names,
+        starts=starts,
+        signal_strengths=args.signal_strengths,
+        seeds=args.seeds,
+        rounds=args.rounds,
+        sequences_batch_size=args.batch,
+        model_queries_per_batch=args.queries,
+        mesh=mesh,
+    )
+    wall = time.time() - t0
+
+    total_seqs = int(df["model_cost"].sum() + df["landscape_cost"].sum())
+    print(
+        f"done in {wall:.2f}s — {total_seqs} sequences scored "
+        f"({total_seqs / wall:.0f}/s), mean max fitness "
+        f"{df['max_fitness'].mean():.4f}"
+    )
+    if args.out:
+        df.to_csv(args.out, index=False)
+        print(f"wrote {args.out}")
+    else:
+        print(df.to_string(index=False, max_rows=20))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

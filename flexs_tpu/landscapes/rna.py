@@ -68,6 +68,7 @@ class RNABinding(Landscape):
         seq_length: int,
         conserved_region: Optional[Dict] = None,
         params: Optional[rna_duplex.DuplexParams] = None,
+        use_pallas: bool = False,
     ):
         """Create an RNABinding landscape.
 
@@ -78,12 +79,17 @@ class RNABinding(Landscape):
             conserved_region: Optional `{"start": int, "pattern": str}`;
                 violating sequences score 0 ("swampland").
             params: Duplex energy parameters (default: calibrated set).
+            use_pallas: Score direct `get_fitness` batches through the
+                Pallas VMEM-window kernel (flexs_tpu.ops.pallas_duplex)
+                instead of the XLA scan path.  The fused-runner
+                `device_fitness` path always uses the XLA form.
         """
         super().__init__(name=f"RNABinding_T{targets}_L{seq_length}")
 
         self.targets = targets
         self.seq_length = seq_length
         self.conserved_region = conserved_region
+        self.use_pallas = use_pallas
         self.params = params or rna_duplex.DuplexParams.calibrated()
 
         self.norm_values = self.compute_min_binding_energies()
@@ -132,7 +138,27 @@ class RNABinding(Landscape):
 
     def fitness_from_tokens(self, tokens) -> jnp.ndarray:
         """Device fast path over int[batch, L] RNA tokens."""
+        if self.use_pallas:
+            return self._pallas_fitness(tokens)
         return self._jit_fitness(self._fitness_params, jnp.asarray(tokens))
+
+    def _pallas_fitness(self, tokens) -> jnp.ndarray:
+        from flexs_tpu.ops.pallas_duplex import duplex_energy_batch_pallas
+
+        tokens = jnp.asarray(tokens)
+        energies = jnp.stack(
+            [
+                duplex_energy_batch_pallas(
+                    tokens, _RNA.encode_one(t), self.params
+                )
+                / n
+                for t, n in zip(self.targets, self.norm_values)
+            ]
+        )
+        fit = jnp.mean(energies, axis=0)
+        conserved = self._fitness_params[-1]
+        ok = jnp.all((conserved < 0) | (tokens == conserved[None, :]), axis=1)
+        return jnp.where(ok, fit, 0.0)
 
     def device_fitness(self):
         """(pure fitness fn, params) pair for fused device runners."""
