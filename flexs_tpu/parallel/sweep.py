@@ -52,6 +52,7 @@ def sweep_adalead_nam(
     seeds,
     cfg: AdaleadConfig,
     mesh: Optional[Mesh] = None,
+    chunk_size: Optional[int] = None,
 ) -> RunResult:
     """Run a flat batch of C sweep cells on device.
 
@@ -64,6 +65,10 @@ def sweep_adalead_nam(
         cfg: Static Adalead configuration (same for every cell).
         mesh: Optional mesh with a "cells" axis to shard the cell batch
             over; tables are replicated.
+        chunk_size: Process at most this many cells per device dispatch
+            (each cell carries O(rounds * queries) device buffers, so very
+            wide grids must be chunked to fit HBM).  One compile serves
+            every full chunk.
 
     Returns:
         `RunResult` with a leading cell axis on every field.
@@ -74,18 +79,41 @@ def sweep_adalead_nam(
     signal_strengths = jnp.asarray(signal_strengths, jnp.float32)
     keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
 
-    if mesh is not None:
-        cell_sharding = NamedSharding(mesh, P("cells"))
-        replicated = NamedSharding(mesh, P())
-        tables = jax.device_put(tables, replicated)
-        table_idx = jax.device_put(table_idx, cell_sharding)
-        start_tokens = jax.device_put(start_tokens, cell_sharding)
-        signal_strengths = jax.device_put(signal_strengths, cell_sharding)
-        keys = jax.device_put(keys, cell_sharding)
+    n = len(table_idx)
+    if chunk_size is None or chunk_size >= n:
+        chunks = [slice(0, n)]
+    else:
+        # Pad the tail chunk up to chunk_size (repeating cell 0) so every
+        # dispatch reuses one compiled shape.
+        chunks = [slice(i, min(i + chunk_size, n)) for i in range(0, n, chunk_size)]
 
-    return _sweep_impl(
-        tables, table_idx, start_tokens, signal_strengths, keys, cfg
-    )
+    def put(table_idx, start_tokens, signal_strengths, keys):
+        if mesh is None:
+            return table_idx, start_tokens, signal_strengths, keys
+        cell_sharding = NamedSharding(mesh, P("cells"))
+        return tuple(
+            jax.device_put(a, cell_sharding)
+            for a in (table_idx, start_tokens, signal_strengths, keys)
+        )
+
+    if mesh is not None:
+        tables = jax.device_put(tables, NamedSharding(mesh, P()))
+
+    results = []
+    for sl in chunks:
+        idx = np.arange(sl.start, sl.stop)
+        if chunk_size is not None and len(idx) < chunk_size:
+            idx = np.concatenate([idx, np.zeros(chunk_size - len(idx), np.int64)])
+        args = put(
+            table_idx[idx], start_tokens[idx], signal_strengths[idx], keys[idx]
+        )
+        out = _sweep_impl(tables, *args, cfg)
+        results.append(
+            jax.tree.map(lambda x, n=sl.stop - sl.start: x[:n], out)
+        )
+    if len(results) == 1:
+        return results[0]
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *results)
 
 
 class SweepCell(NamedTuple):
@@ -107,6 +135,7 @@ def run_robustness_sweep(
     model_queries_per_batch: int = 2000,
     mesh: Optional[Mesh] = None,
     alphabet="TGCA",
+    chunk_size: Optional[int] = None,
 ) -> pd.DataFrame:
     """Robustness evaluator over TF-binding landscapes as one sharded sweep.
 
@@ -154,7 +183,14 @@ def run_robustness_sweep(
         alphabet_size=len(alpha),
     )
     result = sweep_adalead_nam(
-        tables, table_idx, start_tokens, ss_arr, seed_arr, cfg, mesh=mesh
+        tables,
+        table_idx,
+        start_tokens,
+        ss_arr,
+        seed_arr,
+        cfg,
+        mesh=mesh,
+        chunk_size=chunk_size,
     )
     result = jax.tree.map(np.asarray, result)
 

@@ -1,0 +1,65 @@
+"""Sweep engine tests on the 8-device CPU mesh."""
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import flexs_tpu as flexs
+from flexs_tpu.landscapes import tf_binding
+from flexs_tpu.parallel import run_robustness_sweep
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()), ("cells",))
+
+
+def _sweep(**kw):
+    kw.setdefault("landscape_names", ["SIX6_REF_R1"])
+    kw.setdefault("starts", tf_binding.STARTS[:2])
+    kw.setdefault("signal_strengths", [0.0, 1.0])
+    kw.setdefault("rounds", 2)
+    kw.setdefault("sequences_batch_size", 5)
+    kw.setdefault("model_queries_per_batch", 20)
+    return run_robustness_sweep(**kw)
+
+
+def test_sweep_sharded_over_mesh(mesh):
+    df = _sweep(mesh=mesh)
+    assert len(df) == 4
+    assert (df["max_fitness"] >= df["start_fitness"]).all()
+    assert (df["model_cost"] > 0).all()
+
+
+def test_sweep_chunking_matches_unchunked(mesh):
+    a = _sweep(mesh=None, chunk_size=None)
+    b = _sweep(mesh=None, chunk_size=3)  # forces a padded tail chunk
+    np.testing.assert_allclose(
+        a["max_fitness"].to_numpy(), b["max_fitness"].to_numpy()
+    )
+    np.testing.assert_array_equal(
+        a["model_cost"].to_numpy(), b["model_cost"].to_numpy()
+    )
+
+
+def test_sweep_cell_matches_single_runner():
+    """A sweep cell must reproduce the standalone fused runner exactly."""
+    from flexs_tpu.runtime import DeviceAdaleadNAM
+
+    df = _sweep(signal_strengths=[0.9], starts=tf_binding.STARTS[:1], seeds=[7])
+    landscape = flexs.landscapes.TFBinding(name="SIX6_REF_R1")
+    runner = DeviceAdaleadNAM(
+        landscape,
+        flexs.DNAA,
+        rounds=2,
+        sequences_batch_size=5,
+        model_queries_per_batch=20,
+        starting_sequence=tf_binding.STARTS[0],
+        signal_strength=0.9,
+        seed=7,
+    )
+    single, _ = runner.run(verbose=False)
+    # Same PRNG seed + same program => identical trajectories.
+    assert float(df["max_fitness"].iloc[0]) == pytest.approx(
+        float(single["true_score"].max()), abs=1e-6
+    )
