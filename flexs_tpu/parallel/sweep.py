@@ -116,6 +116,111 @@ def sweep_adalead_nam(
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *results)
 
 
+@partial(jax.jit, static_argnames=("cfg", "fitness_fn"))
+def _sweep_generic_impl(stacked_params, start_tokens, signal_strengths, keys, cfg, fitness_fn):
+    def one_cell(params, start, ss, key):
+        return run_adalead_nam(fitness_fn, params, start, cfg, ss, key)
+
+    return jax.vmap(one_cell)(stacked_params, start_tokens, signal_strengths, keys)
+
+
+def run_landscape_robustness_sweep(
+    landscapes: Sequence,
+    alphabet,
+    starts: Sequence[str],
+    signal_strengths: Sequence[float] = (0.0, 0.5, 0.75, 0.9, 1.0),
+    seeds: Sequence[int] = (0,),
+    rounds: int = 10,
+    sequences_batch_size: int = 100,
+    model_queries_per_batch: int = 2000,
+    mesh: Optional[Mesh] = None,
+    chunk_size: Optional[int] = None,
+) -> pd.DataFrame:
+    """Robustness sweep over ANY family of device-fitness landscapes.
+
+    All `landscapes` must share the same `device_fitness()` function
+    identity and parameter pytree structure (e.g. several RNABinding
+    problems with the same target count and sequence length, or several
+    AdditiveAAVPackaging phenotypes) — their params are stacked along the
+    cell axis and the fused runner is vmapped over them.
+    """
+    alpha: Alphabet = as_alphabet(alphabet)
+    fns_params = [land.device_fitness() for land in landscapes]
+    fitness_fn = fns_params[0][0]
+    if any(fn is not fitness_fn for fn, _ in fns_params):
+        raise ValueError("all landscapes must share one device fitness fn")
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *(p for _, p in fns_params))
+
+    cells = [
+        (li, st, ss, sd)
+        for li in range(len(landscapes))
+        for st in starts
+        for ss in signal_strengths
+        for sd in seeds
+    ]
+    land_idx = np.array([c[0] for c in cells], np.int32)
+    start_tokens = alpha.encode([c[1] for c in cells])
+    ss_arr = np.array([c[2] for c in cells], np.float32)
+    keys = jax.vmap(jax.random.PRNGKey)(
+        jnp.asarray([c[3] for c in cells], jnp.uint32)
+    )
+    cell_params = jax.tree.map(lambda x: x[land_idx], stacked)
+
+    cfg = AdaleadConfig(
+        rounds=rounds,
+        sequences_batch_size=sequences_batch_size,
+        model_queries_per_batch=model_queries_per_batch,
+        alphabet_size=len(alpha),
+    )
+
+    n = len(cells)
+    if chunk_size is None or chunk_size >= n:
+        slices = [slice(0, n)]
+    else:
+        slices = [slice(i, min(i + chunk_size, n)) for i in range(0, n, chunk_size)]
+
+    results = []
+    for sl in slices:
+        idx = np.arange(sl.start, sl.stop)
+        if chunk_size is not None and len(idx) < chunk_size:
+            idx = np.concatenate([idx, np.zeros(chunk_size - len(idx), np.int64)])
+        args = (
+            jax.tree.map(lambda x: x[idx], cell_params),
+            jnp.asarray(start_tokens[idx]),
+            jnp.asarray(ss_arr[idx]),
+            keys[idx],
+        )
+        if mesh is not None:
+            sharding = NamedSharding(mesh, P("cells"))
+            args = jax.tree.map(lambda x: jax.device_put(x, sharding), args)
+        out = _sweep_generic_impl(*args, cfg, fitness_fn)
+        results.append(jax.tree.map(lambda x, k=sl.stop - sl.start: x[:k], out))
+    result = (
+        results[0]
+        if len(results) == 1
+        else jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *results)
+    )
+    result = jax.tree.map(np.asarray, result)
+
+    truth = np.where(result.proposal_valid, result.proposal_truth, -np.inf)
+    max_fitness = np.maximum(truth.max(axis=(1, 2)), result.start_truth)
+    rows = []
+    for i, (li, st, ss, sd) in enumerate(cells):
+        rows.append(
+            {
+                "landscape": landscapes[li].name,
+                "start": st,
+                "signal_strength": ss,
+                "seed": sd,
+                "max_fitness": float(max_fitness[i]),
+                "start_fitness": float(result.start_truth[i]),
+                "model_cost": int(result.model_cost[i, -1]),
+                "landscape_cost": int(result.landscape_cost[i, -1]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 class SweepCell(NamedTuple):
     """One sweep cell: landscape name index, start, signal strength, seed."""
 

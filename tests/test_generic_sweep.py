@@ -1,0 +1,89 @@
+"""Generic landscape-family sweeps + golden-band regression on L14_RNA1.
+
+The golden band pins end-to-end behavior against the reference's shipped
+robustness demo (examples/robustness/adalead/*.csv: max fitness 0.89-1.06
+over signal strengths on L14_RNA1 at rounds=5, batch=100, queries=1000).
+"""
+import numpy as np
+import pytest
+
+import flexs_tpu as flexs
+from flexs_tpu.landscapes import additive_aav_packaging as aav
+from flexs_tpu.landscapes import rna
+from flexs_tpu.parallel import run_landscape_robustness_sweep
+
+
+def test_generic_sweep_rna_family():
+    problems = {
+        n: p
+        for n, p in rna.registry().items()
+        if n.startswith("L14_RNA") and "+" not in n
+    }
+    landscapes = [rna.RNABinding(**p["params"]) for p in problems.values()]
+    start = list(problems.values())[0]["starts"][1]
+    df = run_landscape_robustness_sweep(
+        landscapes,
+        flexs.RNAA,
+        starts=[start],
+        signal_strengths=[1.0],
+        rounds=2,
+        sequences_batch_size=5,
+        model_queries_per_batch=20,
+    )
+    assert len(df) == 4
+    assert (df["max_fitness"] >= df["start_fitness"]).all()
+
+
+def test_generic_sweep_rejects_mixed_families():
+    l_rna = rna.RNABinding(**rna.registry()["L14_RNA1"]["params"])
+    l_aav = aav.AdditiveAAVPackaging(phenotype="heart", start=450, end=540)
+    with pytest.raises(ValueError):
+        run_landscape_robustness_sweep(
+            [l_rna, l_aav], flexs.RNAA, starts=["A" * 14]
+        )
+
+
+def test_generic_sweep_chunking_consistency():
+    landscapes = [
+        aav.AdditiveAAVPackaging(phenotype=p, start=450, end=540)
+        for p in ["heart", "lung"]
+    ]
+    kw = dict(
+        alphabet=flexs.AAS,
+        starts=[landscapes[0].wild_type],
+        signal_strengths=[1.0, 0.5],
+        rounds=2,
+        sequences_batch_size=5,
+        model_queries_per_batch=20,
+    )
+    a = run_landscape_robustness_sweep(landscapes, **kw)
+    b = run_landscape_robustness_sweep(landscapes, chunk_size=3, **kw)
+    np.testing.assert_allclose(
+        a["max_fitness"].to_numpy(), b["max_fitness"].to_numpy()
+    )
+
+
+def test_golden_band_l14_rna1_robustness():
+    """Fused Adalead+NAM on L14_RNA1 must land in the reference's band.
+
+    Reference demo (5 rounds x 100 x 1000 queries) reached max fitness
+    0.89-1.06 across signal strengths; a smaller-budget run must still
+    clear 0.8 and stay below the theoretical-ish ceiling.
+    """
+    problem = rna.registry()["L14_RNA1"]
+    landscape = rna.RNABinding(**problem["params"])
+    df = run_landscape_robustness_sweep(
+        [landscape],
+        flexs.RNAA,
+        starts=[problem["starts"][1]],
+        signal_strengths=[0.0, 0.5, 0.9, 1.0],
+        rounds=5,
+        sequences_batch_size=50,
+        model_queries_per_batch=500,
+    )
+    assert (df["max_fitness"] > 0.8).all(), df["max_fitness"].tolist()
+    assert (df["max_fitness"] < 1.2).all()
+    # Stronger signal should not hurt much: best ss>=0.9 beats ss=0 - slack.
+    strong = df[df["signal_strength"] >= 0.9]["max_fitness"].max()
+    weak = df[df["signal_strength"] == 0.0]["max_fitness"].max()
+    assert strong > weak - 0.15
