@@ -25,7 +25,6 @@ Q values + greedy argmax), and a training call is one jitted
 scan over `train_epochs` minibatch updates — the reference pays a torch
 graph per epoch plus Python segment-tree sampling per batch.
 """
-from functools import partial
 from typing import Optional, Tuple
 
 import flax.linen as nn

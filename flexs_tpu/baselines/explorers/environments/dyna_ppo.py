@@ -20,7 +20,7 @@ Parity contract (reference explorers/environments/dyna_ppo.py):
   * `DynaPPOEnvironmentMutative`: single-sequence mutation walk with the
     density-augmented reward and gt/model switch (:166-336).
 """
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -14,7 +14,7 @@ Parity contract (reference explorers/environments/ppo.py):
 This is a plain Python class (no TF-Agents dependency); the policy itself
 is the jitted Flax agent in flexs_tpu.rl.ppo.
 """
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -21,7 +21,6 @@ axis of both training and prediction across devices (pure data parallelism —
 these surrogates are tiny, so sharding parameters would waste ICI bandwidth;
 see SURVEY.md §2.5).
 """
-from functools import partial
 from typing import Callable, Optional
 
 import jax

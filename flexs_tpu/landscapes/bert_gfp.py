@@ -26,8 +26,6 @@ cannot be fetched here.  Construction resolves weights in order:
 """
 import os
 import warnings
-from functools import partial
-from typing import Optional
 
 import flax.linen as nn
 import jax

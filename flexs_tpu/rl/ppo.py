@@ -10,7 +10,6 @@ algorithmic family, far simpler to fuse into device programs.
 The agent is stateless-functional inside: parameters and optimizer state
 live in `self._state`; `act` and `train` are jitted device calls.
 """
-from functools import partial
 from typing import Dict, Optional, Sequence
 
 import flax.linen as nn

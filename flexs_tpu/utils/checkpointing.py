@@ -15,7 +15,7 @@ unrecoverable after a crash (SURVEY.md §5).  This module adds both halves:
 """
 import json
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 import pandas as pd

@@ -26,7 +26,7 @@ TPU-first design: training is a jitted scan over minibatches per epoch;
 Boltzmann sampling draws whole candidate batches per temperature instead of
 one sequence per Python loop iteration.
 """
-from typing import List, Optional
+from typing import List
 
 import flax.linen as nn
 import jax
