@@ -1,7 +1,8 @@
 """Baseline explorers."""
 from flexs_tpu.baselines.explorers.adalead import Adalead  # noqa: F401
 from flexs_tpu.baselines.explorers.bo import BO, GPR_BO  # noqa: F401
-from flexs_tpu.baselines.explorers.cbas_dbas import CbAS  # noqa: F401
+from flexs_tpu.baselines.explorers import environments  # noqa: F401
+from flexs_tpu.baselines.explorers.cbas_dbas import VAE, CbAS  # noqa: F401
 from flexs_tpu.baselines.explorers.cmaes import CMAES  # noqa: F401
 from flexs_tpu.baselines.explorers.dqn import DQN  # noqa: F401
 from flexs_tpu.baselines.explorers.dyna_ppo import (  # noqa: F401
