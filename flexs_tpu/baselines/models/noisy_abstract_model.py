@@ -94,6 +94,7 @@ class NoisyAbstractModel(Model):
         self.landscape = landscape
         self.ss = signal_strength
         self.cache = {}
+        self._truth = {}  # sequence -> true fitness (recorded when scored)
         self._rng = np.random.default_rng(seed)
 
         # Stable byte -> compact token mapping (persists across calls so
@@ -186,6 +187,7 @@ class NoisyAbstractModel(Model):
         """Cache measured (sequence, label) pairs for future lookup."""
         fresh = [s for s in sequences if s not in self.cache]
         self.cache.update(zip(sequences, labels))
+        self._truth.update(zip(sequences, np.asarray(labels, dtype=np.float64)))
         seen = set()
         fresh_unique = [s for s in fresh if not (s in seen or seen.add(s))]
         self._append_cache(fresh_unique)
@@ -241,14 +243,24 @@ class NoisyAbstractModel(Model):
         if uncached:
             distances, neighbors = self._min_distances(uncached)
 
-            # One batched oracle call each for signals and neighbor values
-            # (reference makes 2 singleton calls per sequence — same cost,
-            # vastly fewer host<->device round trips).
+            # One batched oracle call for the signals (reference makes 2
+            # singleton landscape calls per sequence — same cost accounting,
+            # vastly fewer oracle evaluations and host<->device round trips).
             signals = np.asarray(
                 self.landscape.get_fitness(uncached), dtype=np.float64
             )
-            neighbor_fit = np.asarray(
-                self.landscape.get_fitness(neighbors), dtype=np.float64
+            self._truth.update(zip(uncached, signals))
+            # Neighbor true fitness: every neighbor is a cache member whose
+            # truth was recorded when it was first scored, so the oracle is
+            # only re-run for the (rare) misses; the reference's cost of one
+            # landscape query per lookup is still charged.
+            missing = [s for s in set(neighbors) if s not in self._truth]
+            if missing:
+                for s, v in zip(missing, self.landscape._fitness_function(missing)):
+                    self._truth[s] = float(v)
+            self.landscape.add_cost(len(neighbors))
+            neighbor_fit = np.array(
+                [self._truth[s] for s in neighbors], dtype=np.float64
             )
 
             noise = np.where(
