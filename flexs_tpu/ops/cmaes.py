@@ -146,7 +146,18 @@ def tell(
     # Guard against overflow/degeneration under pathological objectives.
     sigma = jnp.clip(sigma, 1e-12, 1e6)
 
-    eig_vals, eig_b = jnp.linalg.eigh(cov)
+    # Lazy eigendecomposition (standard CMA-ES practice): refresh the
+    # sampling basis every ~1/(10 n (c1+cmu)) generations — an O(n^3) eigh
+    # per generation dominates wall-clock in high dimension otherwise.
+    lazy_gap = max(1, int(1.0 / (10.0 * n * (hp["c_1"] + hp["c_mu"]))))
+    refresh = (count % lazy_gap) == 0
+    eig_vals, eig_b_new = jax.lax.cond(
+        refresh,
+        lambda c: tuple(jnp.linalg.eigh(c)),
+        lambda c: (jnp.square(state.eig_d), state.eig_b),
+        cov,
+    )
+    eig_b = eig_b_new
     eig_d = jnp.sqrt(jnp.maximum(eig_vals, 1e-20))
 
     return CMAState(

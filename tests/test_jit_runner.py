@@ -133,3 +133,39 @@ def test_log_file_format(landscape, start, tmp_path):
         "model_cost",
         "measurement_cost",
     ]
+
+
+def test_perfect_model_mode(landscape, start):
+    """model='perfect': predictions equal truth; landscape cost = measured."""
+    runner = DeviceAdaleadNAM(
+        landscape,
+        flexs.DNAA,
+        rounds=3,
+        sequences_batch_size=5,
+        model_queries_per_batch=20,
+        starting_sequence=start,
+        model="perfect",
+        seed=0,
+    )
+    cost_before = landscape.cost
+    df, meta = runner.run(verbose=False)
+    prop = df[df["round"] > 0]
+    np.testing.assert_allclose(
+        prop["model_score"].to_numpy(), prop["true_score"].to_numpy(), atol=1e-5
+    )
+    assert meta["model_name"].startswith("LandscapeAsModel=")
+    # Only measurements charge the landscape (reference model.py:49-50).
+    assert landscape.cost - cost_before == len(df)
+
+
+def test_invalid_model_mode_raises(landscape, start):
+    with pytest.raises(ValueError):
+        DeviceAdaleadNAM(
+            landscape,
+            flexs.DNAA,
+            rounds=1,
+            sequences_batch_size=5,
+            model_queries_per_batch=20,
+            starting_sequence=start,
+            model="bogus",
+        )
