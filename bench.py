@@ -54,35 +54,68 @@ def run_once(seed: int):
     return wall, seqs_scored, float(df["true_score"].max())
 
 
-def main():
-    run_once(seed=0)  # compile warmup
+def run_sweep(n_landscapes: int = 40):
+    """Robustness sweep: n_landscapes x 5 signal strengths, chunked."""
+    from flexs_tpu.landscapes import tf_binding
+    from flexs_tpu.parallel import run_robustness_sweep
 
+    names, _ = tf_binding._packed_tables()
+    kwargs = dict(
+        starts=tf_binding.STARTS[:1],
+        signal_strengths=[0.0, 0.5, 0.75, 0.9, 1.0],
+        rounds=10,
+        sequences_batch_size=100,
+        model_queries_per_batch=2000,
+        chunk_size=40,
+    )
+    run_robustness_sweep(landscape_names=names[:8], **kwargs)  # compile warm
+    t0 = time.time()
+    df = run_robustness_sweep(landscape_names=names[:n_landscapes], **kwargs)
+    wall = time.time() - t0
+    seqs = int(df["model_cost"].sum() + df["landscape_cost"].sum())
+    return wall, seqs, float(df["max_fitness"].mean()), len(df)
+
+
+def main():
+    # Single-run path (compile warmup + median of 3).
+    run_once(seed=0)
     walls, tops, seqs = [], [], 0
     for i in range(3):
         wall, seqs_scored, top = run_once(seed=i + 1)
         walls.append(wall)
         tops.append(top)
         seqs = seqs_scored
-    wall = sorted(walls)[1]  # median of 3
-    seqs_per_sec = seqs / wall
+    single_wall = sorted(walls)[1]
+    single_sps = seqs / single_wall
+
+    # Headline: the sharded sweep (the >= 50x BASELINE target is defined on
+    # sweep throughput; cells also shard across a mesh on multi-chip).
+    sweep_wall, sweep_seqs, mean_max, cells = run_sweep()
+    sweep_sps = sweep_seqs / sweep_wall
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"
     )
-    vs_baseline = None
+    base_sps = None
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
-            baseline = json.load(f)
-        vs_baseline = seqs_per_sec / baseline["seqs_per_sec"]
+            base_sps = json.load(f)["seqs_per_sec"]
 
     print(
         json.dumps(
             {
-                "metric": "adalead_nam_tfbind8_10r_seqs_per_sec",
-                "value": round(seqs_per_sec, 1),
+                "metric": "robustness_sweep_seqs_per_sec_per_chip",
+                "value": round(sweep_sps, 1),
                 "unit": "seqs/sec",
-                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-                "wall_clock_s": round(wall, 4),
+                "vs_baseline": round(sweep_sps / base_sps, 2) if base_sps else None,
+                "sweep_cells": cells,
+                "sweep_wall_clock_s": round(sweep_wall, 1),
+                "sweep_mean_max_fitness": round(mean_max, 4),
+                "single_run_wall_clock_s": round(single_wall, 4),
+                "single_run_seqs_per_sec": round(single_sps, 1),
+                "single_run_vs_baseline": (
+                    round(single_sps / base_sps, 2) if base_sps else None
+                ),
                 "top_fitness": round(max(tops), 4),
             }
         )
