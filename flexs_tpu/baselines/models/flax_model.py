@@ -54,6 +54,8 @@ class FlaxModel(Model):
         loss: Callable = mse_loss,
         seed: int = 0,
         mesh: Optional[Mesh] = None,
+        custom_train_function: Optional[Callable] = None,
+        custom_predict_function: Optional[Callable] = None,
     ):
         """Wrap a flax linen module.
 
@@ -68,6 +70,11 @@ class FlaxModel(Model):
             loss: Per-sample loss `(preds, labels) -> losses`.
             seed: PRNG seed for init/dropout/shuffling.
             mesh: Optional device mesh with a "data" axis for batch sharding.
+            custom_train_function: Optional override called as
+                `(one_hots, labels)` instead of the built-in fit (reference
+                keras_model.py:33-36).
+            custom_predict_function: Optional override called as
+                `(one_hots) -> predictions` (reference keras_model.py:37-38).
         """
         super().__init__(name)
 
@@ -77,6 +84,8 @@ class FlaxModel(Model):
         self.epochs = epochs
         self.loss = loss
         self.mesh = mesh
+        self.custom_train_function = custom_train_function
+        self.custom_predict_function = custom_predict_function
 
         self._tx = optax.adam(learning_rate)
         self._params = None
@@ -164,6 +173,14 @@ class FlaxModel(Model):
     # -- public API ---------------------------------------------------------
     def train(self, sequences: SEQUENCES_TYPE, labels, verbose: bool = False):
         """Fit for `self.epochs` epochs at `self.batch_size` (warm start)."""
+        if self.custom_train_function is not None:
+            tokens = self.alphabet.encode(list(sequences))
+            one_hots = jax.nn.one_hot(
+                jnp.asarray(tokens), len(self.alphabet), dtype=jnp.float32
+            )
+            self.custom_train_function(one_hots, np.asarray(labels))
+            return
+
         x, n = self._one_hot_batch(
             sequences, bucket_min=self.batch_size, multiple=self.batch_size
         )
@@ -180,6 +197,15 @@ class FlaxModel(Model):
             print(f"{self.name}: epoch losses {np.asarray(losses)}")
 
     def _fitness_function(self, sequences: SEQUENCES_TYPE) -> np.ndarray:
+        if self.custom_predict_function is not None:
+            tokens = self.alphabet.encode(list(sequences))
+            one_hots = jax.nn.one_hot(
+                jnp.asarray(tokens), len(self.alphabet), dtype=jnp.float32
+            )
+            return np.nan_to_num(
+                np.asarray(self.custom_predict_function(one_hots), np.float64)
+            ).reshape(-1)
+
         x, n = self._one_hot_batch(sequences)
         (x,) = self._shard(x)
         self._ensure_init(x)

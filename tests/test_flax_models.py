@@ -132,3 +132,27 @@ def test_r2_weights_prefers_better_model():
     bad = np.random.default_rng(1).normal(size=50)
     w = models.r2_weights(np.stack([good, bad]), labels)
     assert w[0] > 0.9
+
+
+def test_custom_train_and_predict_functions():
+    """Reference keras_model.py:33-38 API: user-supplied train/predict."""
+    calls = {"train": 0}
+
+    def custom_train(one_hots, labels):
+        calls["train"] += 1
+        assert one_hots.ndim == 3 and len(labels) == one_hots.shape[0]
+
+    def custom_predict(one_hots):
+        return np.full(one_hots.shape[0], 0.25)
+
+    model = models.FlaxModel(
+        module=None,  # never touched when both overrides are supplied
+        alphabet=DNA,
+        name="custom",
+        custom_train_function=custom_train,
+        custom_predict_function=custom_predict,
+    )
+    seqs, labels = _dataset(8)
+    model.train(seqs, labels)
+    assert calls["train"] == 1
+    np.testing.assert_allclose(model.get_fitness(seqs[:3]), [0.25] * 3)
