@@ -57,20 +57,27 @@ def _precompute_terms(seq_tokens, target_rev, stack_tbl, consts):
 SUBLANES = 64  # sequences per program instance (8 VPU sublane tiles deep)
 
 
-def _duplex_kernel(open_ref, stack_ref, close_ref, cost_ref, out_ref, window, *, d):
-    """DP over SUBLANES sequences at once; `window[r]` = row (i - 1 - r).
+def _duplex_kernel(open_ref, stack_ref, close_ref, cost_ref, out_ref, window, best, *, d, l1):
+    """One DP row per grid step; the window persists in VMEM scratch.
 
-    Every tensor the VPU touches is [SUBLANES, L2]-shaped, so all 8
-    sublanes carry real work (one sequence each).
+    Grid = (batch_groups, L1): the row index rides the grid (BlockSpec
+    index maps deliver exactly this row's terms — no traced dynamic
+    indexing inside the kernel), and TPU grid steps execute sequentially
+    per core, so the scratch window carries the recursion across rows.
+    Every tensor the VPU touches is [SUBLANES, L2]-shaped.
     """
-    l1 = open_ref.shape[1]
+    i = pl.program_id(1)
     l2 = open_ref.shape[3]
 
-    window[...] = jnp.full((d, SUBLANES, l2), _INF, jnp.float32)
+    @pl.when(i == 0)
+    def _():
+        window[...] = jnp.full((d, SUBLANES, l2), _INF, jnp.float32)
+        best[...] = jnp.full((SUBLANES, 1), _INF, jnp.float32)
+
     col = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, l2), 1)
 
-    # Hoist the loop-invariant cost scalars out of the row loop (they would
-    # otherwise be re-read from VMEM on every DP row).
+    # Loop-invariant cost scalars (statically skipping +inf combinations:
+    # loop too large, or the (1,1) stack case handled separately).
     maxloop = d - 2
     cost_scalars = {
         (di, dj): cost_ref[di, dj]
@@ -84,40 +91,34 @@ def _duplex_kernel(open_ref, stack_ref, close_ref, cost_ref, out_ref, window, *,
         rolled = pltpu.roll(rows, k, axis=1)
         return jnp.where(col < k, _INF, rolled)
 
-    def row_step(i, best):
-        open_e = open_ref[0, i, :, :]
-        stack_e = stack_ref[0, i, :, :]
-        close_add = close_ref[0, i, :, :]
+    open_e = open_ref[0, 0, :, :]
+    stack_e = stack_ref[0, 0, :, :]
+    close_add = close_ref[0, 0, :, :]
 
-        acc = jnp.minimum(open_e, shift_right(window[0], 1) + stack_e)
+    acc = jnp.minimum(open_e, shift_right(window[0], 1) + stack_e)
 
-        # Static unroll: Mosaic cannot vector-load dynamically indexed cost
-        # entries, and static shifts lower to cheap lane rotations.
-        # Statically skip combinations whose cost is +inf by construction
-        # (loop too large, or the (1,1) stack case).
-        for dj in range(1, d):
-            col_min = None
-            for di in range(1, d):
-                if (di, dj) not in cost_scalars:
-                    continue
-                cand = window[di - 1] + cost_scalars[(di, dj)]
-                col_min = cand if col_min is None else jnp.minimum(col_min, cand)
-            if col_min is not None:
-                acc = jnp.minimum(acc, shift_right(col_min, dj))
+    for dj in range(1, d):
+        col_min = None
+        for di in range(1, d):
+            if (di, dj) not in cost_scalars:
+                continue
+            cand = window[di - 1] + cost_scalars[(di, dj)]
+            col_min = cand if col_min is None else jnp.minimum(col_min, cand)
+        if col_min is not None:
+            acc = jnp.minimum(acc, shift_right(col_min, dj))
 
-        # Unpairable cells (open_e == +inf) admit no path at all.
-        acc = jnp.where(open_e >= _INF / 2, _INF, acc)
+    # Unpairable cells (open_e == +inf) admit no path at all.
+    acc = jnp.where(open_e >= _INF / 2, _INF, acc)
 
-        best = jnp.minimum(best, jnp.min(acc + close_add, axis=1, keepdims=True))
-
-        window[...] = jnp.concatenate([acc[None], window[: d - 1]], axis=0)
-        return best
-
-    best = jax.lax.fori_loop(
-        0, l1, row_step, jnp.full((SUBLANES, 1), _INF, jnp.float32)
+    best[...] = jnp.minimum(
+        best[...], jnp.min(acc + close_add, axis=1, keepdims=True)
     )
-    result = jnp.where(best >= _INF / 2, 0.0, best)
-    out_ref[0, :, :] = jnp.broadcast_to(result, (SUBLANES, 128))
+    window[...] = jnp.concatenate([acc[None], window[: d - 1]], axis=0)
+
+    @pl.when(i == l1 - 1)
+    def _():
+        result = jnp.where(best[...] >= _INF / 2, 0.0, best[...])
+        out_ref[0, :, :] = jnp.broadcast_to(result, (SUBLANES, 128))
 
 
 @partial(jax.jit, static_argnames=("maxloop", "interpret"))
@@ -147,18 +148,27 @@ def _pallas_duplex_batch(
         # p*S .. p*S+S-1 as sublanes.
         return x.reshape(bp // SUBLANES, SUBLANES, l1, l2p).transpose(0, 2, 1, 3)
 
+    def row_spec():
+        # [B/S, L1, S, L2p] -> one [1(row), S, L2p] block per (group, row).
+        return pl.BlockSpec(
+            (1, 1, SUBLANES, l2p), lambda g, i: (g, i, 0, 0)
+        )
+
     out = pl.pallas_call(
-        partial(_duplex_kernel, d=d),
-        grid=(bp // SUBLANES,),
+        partial(_duplex_kernel, d=d, l1=l1),
+        grid=(bp // SUBLANES, l1),
         in_specs=[
-            pl.BlockSpec((1, l1, SUBLANES, l2p), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, l1, SUBLANES, l2p), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, l1, SUBLANES, l2p), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((d, d), lambda i: (0, 0)),
+            row_spec(),
+            row_spec(),
+            row_spec(),
+            pl.BlockSpec((d, d), lambda g, i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, SUBLANES, 128), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, SUBLANES, 128), lambda g, i: (g, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bp // SUBLANES, SUBLANES, 128), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((d, SUBLANES, l2p), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((d, SUBLANES, l2p), jnp.float32),
+            pltpu.VMEM((SUBLANES, 1), jnp.float32),
+        ],
         interpret=interpret,
     )(regroup(open_e), regroup(stack_e), regroup(close_add), loop_cost)
     return out[:, :, 0].reshape(bp)[:b]
