@@ -14,7 +14,7 @@ into the shared stacked table array, so a 158-landscape sweep holds one
 [158, 65536] f32 array regardless of grid size.
 """
 from functools import partial
-from typing import List, NamedTuple, Optional, Sequence
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -219,6 +219,80 @@ def run_landscape_robustness_sweep(
             }
         )
     return pd.DataFrame(rows)
+
+
+def run_efficiency_sweep(
+    landscape_names: Sequence[str],
+    starts: Sequence[str],
+    budgets: Sequence[Tuple[int, int]] = (
+        (100, 500),
+        (100, 5000),
+        (1000, 5000),
+        (1000, 10000),
+    ),
+    signal_strength: float = 0.9,
+    seeds: Sequence[int] = (0,),
+    rounds: int = 10,
+    mesh: Optional[Mesh] = None,
+    chunk_size: Optional[int] = None,
+) -> pd.DataFrame:
+    """Efficiency evaluator as fused sweeps (reference evaluate.py:40-74).
+
+    Budgets are compile-time constants of the fused runner, so each
+    (sequences_batch_size, model_queries_per_batch) pair compiles once and
+    sweeps its landscape x start x seed grid on device.
+    """
+    frames = []
+    for sequences_batch_size, model_queries_per_batch in budgets:
+        df = run_robustness_sweep(
+            landscape_names=landscape_names,
+            starts=starts,
+            signal_strengths=[signal_strength],
+            seeds=seeds,
+            rounds=rounds,
+            sequences_batch_size=sequences_batch_size,
+            model_queries_per_batch=model_queries_per_batch,
+            mesh=mesh,
+            chunk_size=chunk_size,
+        )
+        df["sequences_batch_size"] = sequences_batch_size
+        df["model_queries_per_batch"] = model_queries_per_batch
+        frames.append(df)
+    return pd.concat(frames, ignore_index=True)
+
+
+def run_adaptivity_sweep(
+    landscape_names: Sequence[str],
+    starts: Sequence[str],
+    num_rounds: Sequence[int] = (1, 10, 100),
+    total_ground_truth_measurements: int = 1000,
+    total_model_queries: int = 10000,
+    signal_strength: float = 0.9,
+    seeds: Sequence[int] = (0,),
+    mesh: Optional[Mesh] = None,
+    chunk_size: Optional[int] = None,
+) -> pd.DataFrame:
+    """Adaptivity evaluator as fused sweeps (reference evaluate.py:77-112).
+
+    A fixed total budget is split across 1/10/100 rounds; each split is one
+    compiled fused-runner shape sweeping its grid on device.
+    """
+    frames = []
+    for rounds in num_rounds:
+        df = run_robustness_sweep(
+            landscape_names=landscape_names,
+            starts=starts,
+            signal_strengths=[signal_strength],
+            seeds=seeds,
+            rounds=rounds,
+            sequences_batch_size=int(total_ground_truth_measurements / rounds),
+            model_queries_per_batch=int(total_model_queries / rounds),
+            mesh=mesh,
+            chunk_size=chunk_size,
+        )
+        df["rounds"] = rounds
+        frames.append(df)
+    return pd.concat(frames, ignore_index=True)
 
 
 class SweepCell(NamedTuple):

@@ -63,3 +63,34 @@ def test_sweep_cell_matches_single_runner():
     assert float(df["max_fitness"].iloc[0]) == pytest.approx(
         float(single["true_score"].max()), abs=1e-6
     )
+
+
+def test_efficiency_sweep_budget_grid():
+    from flexs_tpu.parallel import run_efficiency_sweep
+
+    df = run_efficiency_sweep(
+        landscape_names=["SIX6_REF_R1"],
+        starts=tf_binding.STARTS[:1],
+        budgets=[(5, 20), (10, 30)],
+        rounds=2,
+    )
+    assert len(df) == 2
+    assert set(df["sequences_batch_size"]) == {5, 10}
+    # Bigger measurement budget measures more sequences.
+    small = df[df["sequences_batch_size"] == 5]["landscape_cost"].iloc[0]
+    big = df[df["sequences_batch_size"] == 10]["landscape_cost"].iloc[0]
+    assert big > small
+
+
+def test_adaptivity_sweep_round_splits():
+    from flexs_tpu.parallel import run_adaptivity_sweep
+
+    df = run_adaptivity_sweep(
+        landscape_names=["SIX6_REF_R1"],
+        starts=tf_binding.STARTS[:1],
+        num_rounds=[1, 2],
+        total_ground_truth_measurements=10,
+        total_model_queries=40,
+    )
+    assert set(df["rounds"]) == {1, 2}
+    assert (df["max_fitness"] >= df["start_fitness"]).all()
