@@ -167,6 +167,13 @@ class BertGFPBrightness(Landscape):
         self.params = self._resolve_params(model_path, seed)
         self._predict = jax.jit(self.module.apply)
 
+        # AAS-token -> IUPAC-vocab id map for the device fitness path.
+        from flexs_tpu.alphabet import AAS
+
+        self._aas_to_vocab = jnp.asarray(
+            [VOCAB.get(c, VOCAB["<unk>"]) for c in AAS], jnp.int32
+        )
+
     # -- weights ------------------------------------------------------------
     def _download(self, model_path: str):  # pragma: no cover - needs egress
         import requests
@@ -270,6 +277,29 @@ class BertGFPBrightness(Landscape):
         return {"params": p}
 
     # -- scoring ------------------------------------------------------------
+    def _device_fitness_fn(self, params, tokens):
+        """Pure fitness over int[B, L] AAS tokens (encodes in-graph).
+
+        Bound method: its identity is stable per landscape instance, which
+        is what fused runners key their jit caches on.
+        """
+        b, length = tokens.shape
+        ids = self._aas_to_vocab[tokens]
+        cls = jnp.full((b, 1), VOCAB["<cls>"], jnp.int32)
+        sep = jnp.full((b, 1), VOCAB["<sep>"], jnp.int32)
+        pad = jnp.full(
+            (b, self.module.max_len - length - 2), VOCAB["<pad>"], jnp.int32
+        )
+        return self.module.apply(params, jnp.concatenate([cls, ids, sep, pad], axis=1))
+
+    def device_fitness(self):
+        """(pure fitness fn, params) pair for fused device runners."""
+        return self._device_fitness_fn, self.params
+
+    def fitness_from_tokens(self, tokens) -> jnp.ndarray:
+        """Device fast path over int[batch, L] AAS tokens."""
+        return self._device_fitness_fn(self.params, jnp.asarray(tokens))
+
     def _fitness_function(self, sequences: SEQUENCES_TYPE) -> np.ndarray:
         seqs = list(sequences)
         tokens = encode_tape(seqs, self.module.max_len)

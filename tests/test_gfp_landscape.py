@@ -72,3 +72,35 @@ def test_padding_does_not_change_scores(landscape):
     single = landscape.get_fitness([seqs[0]])
     batch = landscape.get_fitness(seqs)
     np.testing.assert_allclose(batch, np.repeat(single, 3), atol=1e-5)
+
+
+def test_gfp_device_fitness_matches_host_path(landscape):
+    from flexs_tpu.alphabet import AAS, Alphabet
+
+    seqs = [
+        BertGFPBrightness.gfp_wt_sequence,
+        BertGFPBrightness.starts["ed_10_wt"],
+    ]
+    host = landscape._fitness_function(seqs)
+    tokens = Alphabet(AAS).encode(seqs)
+    device = np.asarray(landscape.fitness_from_tokens(tokens))
+    np.testing.assert_allclose(device, host, atol=1e-4)
+
+
+def test_gfp_fused_runner(landscape):
+    import flexs_tpu as flexs
+    from flexs_tpu.runtime import DeviceAdaleadNAM
+
+    runner = DeviceAdaleadNAM(
+        landscape,
+        flexs.AAS,
+        rounds=1,
+        sequences_batch_size=3,
+        model_queries_per_batch=10,
+        starting_sequence=BertGFPBrightness.gfp_wt_sequence,
+        model="perfect",
+        seed=0,
+    )
+    df, _ = runner.run(verbose=False)
+    assert df["round"].max() == 1
+    assert np.isfinite(df["true_score"]).all()
