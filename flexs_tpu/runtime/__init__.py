@@ -1,4 +1,8 @@
 """On-device runtime: fully-jitted run loops and sharded sweep engines."""
+from flexs_tpu.runtime.cmaes_runner import (  # noqa: F401
+    DeviceCMAESNAM,
+    run_cmaes_nam,
+)
 from flexs_tpu.runtime.ga_runner import (  # noqa: F401
     DeviceGeneticAlgorithmNAM,
     run_ga_nam,
