@@ -3,6 +3,10 @@ from flexs_tpu.runtime.cmaes_runner import (  # noqa: F401
     DeviceCMAESNAM,
     run_cmaes_nam,
 )
+from flexs_tpu.runtime.dqn_runner import (  # noqa: F401
+    DeviceDQNNAM,
+    run_dqn_nam,
+)
 from flexs_tpu.runtime.ga_runner import (  # noqa: F401
     DeviceGeneticAlgorithmNAM,
     run_ga_nam,
