@@ -17,8 +17,11 @@ Parity contract (reference baselines/explorers/dyna_ppo.py):
     `(rounds - r + 1) / rounds * batch / 2` (:475-481); episode-boundary
     reseeding from sequences within 90% of the best.
   * The PPO agent (TF-Agents in the reference, :213-231) is the pure-JAX
-    clipped-surrogate agent of flexs_tpu.rl.ppo (fc[128], Adam 1e-5,
-    10 epochs).
+    clipped-surrogate agent of flexs_tpu.rl.ppo (fc[128], 10 epochs).
+    Documented deviation: the agent uses standard PPO hyperparameters
+    (Adam 3e-4, entropy 0.01, running observation normalization) instead
+    of the reference's bare Adam 1e-5 — TF-Agents got its learning signal
+    from built-in observation/reward normalizers the raw rate hides.
 """
 from typing import List, Optional, Tuple
 
@@ -201,7 +204,6 @@ class DynaPPO(Explorer):
             obs_dim=self.env.obs_dim,
             num_actions=self.env.num_actions,
             fc_layers=(128,),
-            learning_rate=1e-5,
             train_epochs=10,
             seed=seed,
         )
@@ -344,7 +346,6 @@ class DynaPPOMutative(Explorer):
             obs_dim=obs_dim,
             num_actions=self.env.num_actions,
             fc_layers=(128,),
-            learning_rate=1e-5,
             train_epochs=10,
             seed=seed,
         )

@@ -1,9 +1,12 @@
 """PPO explorer.
 
 Parity contract (reference baselines/explorers/ppo.py):
-  * name "PPO_Agent" (:46); actor/value nets fc[128], Adam lr=1e-5,
-    10 train epochs per round (:65-91) — here the TF-Agents PPOAgent is
-    replaced by the pure-JAX clipped-surrogate agent of flexs_tpu.rl.ppo.
+  * name "PPO_Agent" (:46); actor/value nets fc[128], 10 train epochs per
+    round (:65-91) — here the TF-Agents PPOAgent is replaced by the
+    pure-JAX clipped-surrogate agent of flexs_tpu.rl.ppo with standard
+    PPO hyperparameters (Adam 3e-4, entropy 0.01, observation
+    normalization; documented deviation from the reference's bare 1e-5 —
+    TF-Agents' built-in normalizers supplied the missing learning signal).
   * Collect full episodes on the mutation-walk environment until the
     model-query budget is spent (:143-146), then ONE training call on the
     gathered trajectories (:147-149).
@@ -63,7 +66,6 @@ class PPO(Explorer):
             obs_dim=obs_dim,
             num_actions=self.env.num_actions,
             fc_layers=(128,),
-            learning_rate=1e-5,
             train_epochs=10,
             seed=seed,
         )

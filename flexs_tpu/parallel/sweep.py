@@ -13,6 +13,7 @@ Score tables are NOT replicated per cell: every lane carries only an index
 into the shared stacked table array, so a 158-landscape sweep holds one
 [158, 65536] f32 array regardless of grid size.
 """
+import functools
 from functools import partial
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
@@ -116,10 +117,47 @@ def sweep_adalead_nam(
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *results)
 
 
-@partial(jax.jit, static_argnames=("cfg", "fitness_fn"))
-def _sweep_generic_impl(stacked_params, start_tokens, signal_strengths, keys, cfg, fitness_fn):
+@functools.lru_cache(maxsize=64)
+def _cell_runner(algorithm: str, algorithm_kwargs: tuple):
+    """Stable per-(algorithm, kwargs) cell function (keys the jit cache)."""
+    kwargs = dict(algorithm_kwargs)
+    if algorithm == "adalead":
+        from flexs_tpu.runtime.jit_runner import run_adalead_nam as fn
+
+        return lambda f, p, s, cfg, ss, k: fn(f, p, s, cfg, ss, k, **kwargs)
+    if algorithm == "ga":
+        from flexs_tpu.runtime.ga_runner import run_ga_nam as fn
+
+        kwargs.setdefault("population_size", 100)
+        kwargs.setdefault("parent_selection_strategy", "wright-fisher")
+        kwargs.setdefault("children_proportion", 0.2)
+        kwargs.setdefault("parent_selection_proportion", 0.3)
+        kwargs.setdefault("beta", 0.05)
+        return lambda f, p, s, cfg, ss, k: fn(f, p, s, cfg, ss, k, **kwargs)
+    if algorithm == "cmaes":
+        from flexs_tpu.runtime.cmaes_runner import run_cmaes_nam as fn
+
+        kwargs.setdefault("population_size", 15)
+        kwargs.setdefault("max_iter", 400)
+        kwargs.setdefault("initial_variance", 0.2)
+        kwargs.setdefault("maximize", False)
+        return lambda f, p, s, cfg, ss, k: fn(f, p, s, cfg, ss, k, **kwargs)
+    if algorithm == "dqn":
+        from flexs_tpu.runtime.dqn_runner import run_dqn_nam as fn
+
+        kwargs.setdefault("memory_size", 4096)
+        kwargs.setdefault("train_epochs", 20)
+        kwargs.setdefault("gamma", 0.9)
+        return lambda f, p, s, cfg, ss, k: fn(f, p, s, cfg, ss, k, **kwargs)
+    raise ValueError(f"unknown fused algorithm {algorithm!r}")
+
+
+@partial(jax.jit, static_argnames=("cfg", "fitness_fn", "cell_fn"))
+def _sweep_generic_impl(
+    stacked_params, start_tokens, signal_strengths, keys, cfg, fitness_fn, cell_fn
+):
     def one_cell(params, start, ss, key):
-        return run_adalead_nam(fitness_fn, params, start, cfg, ss, key)
+        return cell_fn(fitness_fn, params, start, cfg, ss, key)
 
     return jax.vmap(one_cell)(stacked_params, start_tokens, signal_strengths, keys)
 
@@ -135,6 +173,8 @@ def run_landscape_robustness_sweep(
     model_queries_per_batch: int = 2000,
     mesh: Optional[Mesh] = None,
     chunk_size: Optional[int] = None,
+    algorithm: str = "adalead",
+    algorithm_kwargs: Optional[dict] = None,
 ) -> pd.DataFrame:
     """Robustness sweep over ANY family of device-fitness landscapes.
 
@@ -143,6 +183,9 @@ def run_landscape_robustness_sweep(
     problems with the same target count and sequence length, or several
     AdditiveAAVPackaging phenotypes) — their params are stacked along the
     cell axis and the fused runner is vmapped over them.
+
+    `algorithm` selects the fused explorer family ("adalead", "ga",
+    "cmaes", "dqn"); `algorithm_kwargs` are its static hyperparameters.
     """
     alpha: Alphabet = as_alphabet(alphabet)
     fns_params = [land.device_fitness() for land in landscapes]
@@ -172,6 +215,9 @@ def run_landscape_robustness_sweep(
         model_queries_per_batch=model_queries_per_batch,
         alphabet_size=len(alpha),
     )
+    cell_fn = _cell_runner(
+        algorithm, tuple(sorted((algorithm_kwargs or {}).items()))
+    )
 
     n = len(cells)
     if chunk_size is None or chunk_size >= n:
@@ -193,7 +239,7 @@ def run_landscape_robustness_sweep(
         if mesh is not None:
             sharding = NamedSharding(mesh, P("cells"))
             args = jax.tree.map(lambda x: jax.device_put(x, sharding), args)
-        out = _sweep_generic_impl(*args, cfg, fitness_fn)
+        out = _sweep_generic_impl(*args, cfg, fitness_fn, cell_fn)
         results.append(jax.tree.map(lambda x, k=sl.stop - sl.start: x[:k], out))
     result = (
         results[0]

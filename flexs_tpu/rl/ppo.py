@@ -47,16 +47,23 @@ class PPOAgent:
         obs_dim: int,
         num_actions: int,
         fc_layers: Sequence[int] = (128,),
-        learning_rate: float = 1e-5,
+        learning_rate: float = 3e-4,
         train_epochs: int = 10,
         clip_eps: float = 0.2,
         gamma: float = 0.99,
         gae_lambda: float = 0.95,
         value_coef: float = 0.5,
-        entropy_coef: float = 0.0,
+        entropy_coef: float = 0.01,
+        normalize_observations: bool = True,
         seed: int = 0,
     ):
-        """Create the agent (defaults mirror the reference's PPO setup)."""
+        """Create the agent.
+
+        Defaults follow standard PPO practice (lr 3e-4, small entropy
+        bonus, running observation normalization — TF-Agents normalizes
+        observations/rewards by default too; the reference's 1e-5 Adam
+        barely moves the policy within a FLEXS budget).
+        """
         self.num_actions = num_actions
         self.gamma = gamma
         self.gae_lambda = gae_lambda
@@ -64,6 +71,11 @@ class PPOAgent:
         self.clip_eps = clip_eps
         self.value_coef = value_coef
         self.entropy_coef = entropy_coef
+
+        self.normalize_observations = normalize_observations
+        self._obs_count = 1e-4
+        self._obs_mean = np.zeros(obs_dim, np.float64)
+        self._obs_m2 = np.ones(obs_dim, np.float64)
 
         self._net = ActorCritic(num_actions, tuple(fc_layers))
         self._tx = optax.adam(learning_rate)
@@ -74,6 +86,20 @@ class PPOAgent:
 
         self._act = jax.jit(self._act_impl)
         self._update = jax.jit(self._update_impl)
+
+    # -- observation normalization -------------------------------------------
+    def _update_obs_stats(self, obs: np.ndarray):
+        for row in np.asarray(obs, np.float64):
+            self._obs_count += 1
+            delta = row - self._obs_mean
+            self._obs_mean += delta / self._obs_count
+            self._obs_m2 += delta * (row - self._obs_mean)
+
+    def _normalize(self, obs):
+        if not self.normalize_observations:
+            return obs
+        var = self._obs_m2 / max(self._obs_count, 1.0)
+        return (obs - self._obs_mean) / np.sqrt(var + 1e-8)
 
     # -- acting -------------------------------------------------------------
     def _act_impl(self, params, obs, key, action_mask):
@@ -90,7 +116,7 @@ class PPOAgent:
 
         Returns (actions, logprobs, values) as numpy arrays.
         """
-        obs = jnp.asarray(obs, jnp.float32)
+        obs = jnp.asarray(self._normalize(np.asarray(obs)), jnp.float32)
         if action_mask is None:
             mask = jnp.ones((obs.shape[0], self.num_actions), bool)
         else:
@@ -159,7 +185,8 @@ class PPOAgent:
         )
         adv = (adv - adv.mean()) / (adv.std() + 1e-8)
 
-        obs = jnp.asarray(batch["obs"], jnp.float32)
+        self._update_obs_stats(batch["obs"])
+        obs = jnp.asarray(self._normalize(np.asarray(batch["obs"])), jnp.float32)
         actions = jnp.asarray(batch["actions"], jnp.int32)
         old_logprobs = jnp.asarray(batch["logprobs"], jnp.float32)
         masks = batch.get("masks")

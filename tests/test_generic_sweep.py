@@ -87,3 +87,27 @@ def test_golden_band_l14_rna1_robustness():
     strong = df[df["signal_strength"] >= 0.9]["max_fitness"].max()
     weak = df[df["signal_strength"] == 0.0]["max_fitness"].max()
     assert strong > weak - 0.15
+
+
+@pytest.mark.parametrize("algorithm,kwargs", [
+    ("ga", {"population_size": 8, "children_proportion": 0.5}),
+    ("cmaes", {"population_size": 8}),
+])
+def test_generic_sweep_algorithm_selection(algorithm, kwargs):
+    landscapes = [
+        aav.AdditiveAAVPackaging(phenotype=p, start=450, end=540)
+        for p in ["heart", "lung"]
+    ]
+    df = run_landscape_robustness_sweep(
+        landscapes,
+        flexs.AAS,
+        starts=[landscapes[0].wild_type],
+        signal_strengths=[1.0],
+        rounds=2,
+        sequences_batch_size=5,
+        model_queries_per_batch=20,
+        algorithm=algorithm,
+        algorithm_kwargs=kwargs,
+    )
+    assert len(df) == 2
+    assert (df["model_cost"] > 0).all()
