@@ -1,0 +1,128 @@
+"""Reproduce the reference paper's 3MSI benchmark table.
+
+Runs each explorer with a perfect model (LandscapeAsModel) on the 3MSI
+Rosetta landscape at the paper config (10 rounds x batch 100 x 2000
+queries) over the registry's 5 starting sequences, printing mean/best max
+fitness next to the reference's recorded numbers
+(BASELINE.md; reference paper_code/cloud/runs/3msi).
+
+    python scripts/run_paper_table.py --explorers adalead genetic random
+    python scripts/run_paper_table.py --starts 2          # faster subset
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE = {
+    "random": (0.417, 0.638),
+    "adalead": (0.981, 0.996),
+    "genetic": (1.000, 1.000),
+    "bo": (0.996, 0.999),
+    "cmaes": (0.887, 0.951),
+    "cbas": (0.555, 0.693),
+    "dbas": (0.679, 0.770),
+    "dynappo": (0.934, 0.972),
+}
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--explorers",
+        nargs="+",
+        default=["random", "adalead", "genetic", "bo", "cmaes"],
+        choices=sorted(REFERENCE),
+    )
+    parser.add_argument("--starts", type=int, default=5)
+    parser.add_argument("--rounds", type=int, default=10)
+    parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    import flexs_tpu as flexs
+    from flexs_tpu.landscapes import rosetta
+    from flexs_tpu.utils.vae import VAE
+
+    problem = rosetta.registry()["3msi"]
+    starts = list(problem["starts"].values())[: args.starts]
+    common = dict(
+        rounds=args.rounds,
+        sequences_batch_size=100,
+        model_queries_per_batch=2000,
+        alphabet=flexs.AAS,
+    )
+
+    def make(name, model, landscape, start):
+        ex = flexs.baselines.explorers
+        if name == "random":
+            return ex.Random(model, starting_sequence=start, seed=0, **common)
+        if name == "adalead":
+            return ex.Adalead(model, starting_sequence=start, seed=0, **common)
+        if name == "genetic":
+            return ex.GeneticAlgorithm(
+                model,
+                starting_sequence=start,
+                population_size=100,
+                parent_selection_strategy="wright-fisher",
+                children_proportion=0.2,
+                beta=0.05,
+                seed=0,
+                **common,
+            )
+        if name == "bo":
+            return ex.BO(model, starting_sequence=start, seed=0, **common)
+        if name == "cmaes":
+            return ex.CMAES(
+                model,
+                starting_sequence=start,
+                population_size=15,
+                seed=0,
+                maximize=True,
+                **common,
+            )
+        if name in ("cbas", "dbas"):
+            vae = VAE(
+                seq_length=len(start),
+                alphabet=flexs.AAS,
+                intermediate_dim=250,
+                epochs=10,
+                verbose=False,
+                seed=0,
+            )
+            return ex.CbAS(
+                model, vae, starting_sequence=start, algo=name, seed=0, **common
+            )
+        if name == "dynappo":
+            return ex.DynaPPO(
+                landscape, starting_sequence=start, env_batch_size=16, seed=0, **common
+            )
+        raise ValueError(name)
+
+    print(f"{'explorer':<10} {'ours mean/best':>16} {'reference':>16}  time")
+    for name in args.explorers:
+        t0 = time.time()
+        maxes = []
+        for start in starts:
+            landscape = rosetta.RosettaFolding(**problem["params"])
+            model = flexs.LandscapeAsModel(landscape)
+            explorer = make(name, model, landscape, start)
+            df, _ = explorer.run(landscape, verbose=False)
+            maxes.append(df["true_score"].max())
+        ref = REFERENCE[name]
+        print(
+            f"{name:<10} {np.mean(maxes):>8.3f}/{np.max(maxes):.3f} "
+            f"{ref[0]:>10.3f}/{ref[1]:.3f}  {time.time() - t0:>5.0f}s"
+        )
+
+
+if __name__ == "__main__":
+    main()
