@@ -142,6 +142,12 @@ def _cell_runner(algorithm: str, algorithm_kwargs: tuple):
         kwargs.setdefault("initial_variance", 0.2)
         kwargs.setdefault("maximize", False)
         return lambda f, p, s, cfg, ss, k: fn(f, p, s, cfg, ss, k, **kwargs)
+    if algorithm == "random":
+        from flexs_tpu.runtime.random_runner import run_random_nam as fn
+
+        kwargs.setdefault("batch", 64)
+        kwargs.setdefault("mu", 1.0)
+        return lambda f, p, s, cfg, ss, k: fn(f, p, s, cfg, ss, k, **kwargs)
     if algorithm == "dqn":
         from flexs_tpu.runtime.dqn_runner import run_dqn_nam as fn
 

@@ -11,6 +11,10 @@ from flexs_tpu.runtime.ga_runner import (  # noqa: F401
     DeviceGeneticAlgorithmNAM,
     run_ga_nam,
 )
+from flexs_tpu.runtime.random_runner import (  # noqa: F401
+    DeviceRandomNAM,
+    run_random_nam,
+)
 from flexs_tpu.runtime.jit_runner import (  # noqa: F401
     AdaleadConfig,
     DeviceAdaleadNAM,

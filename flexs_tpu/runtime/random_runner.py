@@ -1,0 +1,343 @@
+"""Fully-jitted Random-explorer + NoisyAbstractModel runs.
+
+Fuses the host Random explorer (baselines/explorers/random.py, cited
+against the reference there) with the NAM surrogate: each round mutates
+randomly chosen measured sequences at rate mu/L until
+`model_queries_per_batch` novel sequences are scored, then proposes the
+top `sequences_batch_size` by model score (elitist mode).  One device
+program per experiment, same cache/cost machinery as the other fused
+runners.
+"""
+import time
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from flexs_tpu.alphabet import Alphabet, as_alphabet
+from flexs_tpu.ops import packed_hamming
+from flexs_tpu.runtime import jit_runner
+from flexs_tpu.runtime.jit_runner import RunResult, _dists_to_cache, _masked_append
+
+
+@partial(jax.jit, static_argnames=("cfg", "fitness_fn", "batch", "mu"))
+def run_random_nam(
+    fitness_fn,
+    fitness_params,
+    start_tokens,
+    cfg,
+    signal_strength,
+    key,
+    batch: int = 64,
+    mu: float = 1.0,
+):
+    """Run a full Random-explorer + NAM experiment on device."""
+    B = cfg.sequences_batch_size
+    budget = cfg.model_queries_per_batch
+    A = cfg.alphabet_size
+    L = start_tokens.shape[0]
+    R = cfg.rounds
+    ss = jnp.asarray(signal_strength, jnp.float32)
+    mu_per_res = mu / L
+
+    measured_cap = 1 + R * B + 1
+    cache_cap = 1 + R * (budget + batch) + 1
+    gen_cap = budget + batch + 1
+
+    bits, per_word, words = packed_hamming.packing_spec(L, A)
+
+    def pack(tokens):
+        return packed_hamming.pack_tokens(tokens, A, length=L)
+
+    start_truth = fitness_fn(fitness_params, start_tokens[None])[0]
+
+    measured_tokens = jnp.zeros((measured_cap, L), jnp.int32).at[0].set(start_tokens)
+    measured_truth = (
+        jnp.full((measured_cap,), -jnp.inf, jnp.float32).at[0].set(start_truth)
+    )
+    n_measured = jnp.int32(1)
+
+    cache_tokens = jnp.zeros((cache_cap, L), jnp.int32).at[0].set(start_tokens)
+    cache_pk = jnp.zeros((cache_cap, words), jnp.uint32).at[0].set(
+        pack(start_tokens[None])[0]
+    )
+    cache_vals = jnp.zeros((cache_cap,), jnp.float32).at[0].set(start_truth)
+    cache_truth = jnp.zeros((cache_cap,), jnp.float32).at[0].set(start_truth)
+    n_cache = jnp.int32(1)
+
+    def nam_query(cache, costs, tokens, mask, key):
+        """NAM semantics identical to jit_runner (see there for citations)."""
+        cache_tokens, cache_pk, cache_vals, cache_truth, n_cache = cache
+        model_cost, landscape_cost = costs
+
+        pk = pack(tokens)
+        dists = _dists_to_cache(pk, cache_pk, n_cache, bits, per_word)
+        min_dist = jnp.min(dists, axis=1)
+        nearest = jnp.argmin(dists, axis=1)
+        cached = min_dist == 0
+
+        signal = fitness_fn(fitness_params, tokens)
+        if cfg.perfect_model:
+            values = jnp.where(cached, cache_vals[nearest], signal)
+        else:
+            key, k_exp, k_choice = jax.random.split(key, 3)
+            expo = jax.random.exponential(k_exp, (tokens.shape[0],))
+            rand_idx = jax.random.randint(
+                k_choice, (tokens.shape[0],), 0, jnp.maximum(n_cache, 1)
+            )
+            neighbor_truth = cache_truth[nearest]
+            noise = jnp.where(
+                neighbor_truth >= 0, expo * neighbor_truth, cache_vals[rand_idx]
+            )
+            alpha = jnp.power(ss, min_dist)
+            values = jnp.where(
+                cached, cache_vals[nearest], alpha * signal + (1 - alpha) * noise
+            )
+
+        insert = mask & ~cached
+        cache_tokens, pos, n_cache, (cache_pk, cache_vals, cache_truth) = (
+            _masked_append(
+                cache_tokens,
+                tokens,
+                n_cache,
+                insert,
+                aux_bufs=(cache_pk, cache_vals, cache_truth),
+                aux_rows=(pk, values, signal),
+            )
+        )
+        model_cost = model_cost + jnp.sum(mask)
+        if not cfg.perfect_model:
+            landscape_cost = landscape_cost + 2 * jnp.sum(insert)
+        return (
+            (cache_tokens, cache_pk, cache_vals, cache_truth, n_cache),
+            (model_cost, landscape_cost),
+            values,
+            pos,
+        )
+
+    def round_body(carry, _):
+        (
+            measured_tokens,
+            measured_truth,
+            n_measured,
+            cache,
+            model_cost,
+            landscape_cost,
+            key,
+        ) = carry
+        round_start_cost = model_cost
+
+        gen_tokens = jnp.zeros((gen_cap, L), jnp.int32)
+        gen_preds = jnp.full((gen_cap,), -jnp.inf, jnp.float32)
+        gen_cache_pos = jnp.zeros((gen_cap,), jnp.int32)
+        n_gen = jnp.int32(0)
+
+        def gen_cond(state):
+            _, cache, costs, key = state
+            return costs[0] - round_start_cost + batch <= budget
+
+        def gen_body(state):
+            gen_state, cache, costs, key = state
+            gen_tokens, gen_preds, gen_cache_pos, n_gen = gen_state
+
+            key, k_pick, k_mask, k_res, k_nam = jax.random.split(key, 5)
+            # Parents: uniform random measured sequences (reference
+            # random.py:63-78 uniform mode).
+            parent_idx = jax.random.randint(
+                k_pick, (batch,), 0, jnp.maximum(n_measured, 1)
+            )
+            parents = measured_tokens[parent_idx]
+            mut_mask = jax.random.uniform(k_mask, parents.shape) < mu_per_res
+            rand = jax.random.randint(k_res, parents.shape, 0, A)
+            children = jnp.where(mut_mask, rand, parents)
+
+            # Novelty: vs measured + generated (both live in the NAM cache
+            # for NAM runs; use the cache directly) and within-batch.
+            child_pk = pack(children)
+            cache_pk_buf, n_cache_now = cache[1], cache[4]
+            novel = (
+                jnp.min(
+                    _dists_to_cache(
+                        child_pk, cache_pk_buf, n_cache_now, bits, per_word
+                    ),
+                    axis=1,
+                )
+                > 0
+            )
+            eq_self = jnp.all(
+                child_pk[:, None, :] == child_pk[None, :, :], axis=-1
+            )
+            dup = jnp.any(jnp.tril(eq_self, k=-1) & novel[None, :], axis=1)
+            keep = novel & ~dup
+
+            cache, costs, vals, pos = nam_query(cache, costs, children, keep, k_nam)
+            gen_tokens, _, n_gen, (gen_preds, gen_cache_pos) = _masked_append(
+                gen_tokens,
+                children,
+                n_gen,
+                keep,
+                aux_bufs=(gen_preds, gen_cache_pos),
+                aux_rows=(vals, pos.astype(jnp.int32)),
+            )
+            return (
+                (gen_tokens, gen_preds, gen_cache_pos, n_gen),
+                cache,
+                costs,
+                key,
+            )
+
+        (gen_state, cache, costs, key) = jax.lax.while_loop(
+            gen_cond,
+            gen_body,
+            (
+                (gen_tokens, gen_preds, gen_cache_pos, n_gen),
+                cache,
+                (model_cost, landscape_cost),
+                key,
+            ),
+        )
+        gen_tokens, gen_preds, gen_cache_pos, n_gen = gen_state
+        model_cost, landscape_cost = costs
+
+        masked_preds = jnp.where(jnp.arange(gen_cap) < n_gen, gen_preds, -jnp.inf)
+        top_vals, top_idx = jax.lax.top_k(masked_preds, B)
+        valid = jnp.isfinite(top_vals)
+        proposals = gen_tokens[top_idx]
+        truth = jnp.where(valid, fitness_fn(fitness_params, proposals), -jnp.inf)
+        landscape_cost = landscape_cost + jnp.sum(valid)
+
+        measured_tokens, _, n_measured, (measured_truth,) = _masked_append(
+            measured_tokens,
+            proposals,
+            n_measured,
+            valid,
+            aux_bufs=(measured_truth,),
+            aux_rows=(truth,),
+        )
+        cache_vals = cache[2].at[gen_cache_pos[top_idx]].set(
+            jnp.where(valid, truth, cache[2][gen_cache_pos[top_idx]]),
+            mode="drop",
+        )
+        cache = (cache[0], cache[1], cache_vals, cache[3], cache[4])
+
+        out = (proposals, top_vals, truth, valid, model_cost, landscape_cost)
+        return (
+            measured_tokens,
+            measured_truth,
+            n_measured,
+            cache,
+            model_cost,
+            landscape_cost,
+            key,
+        ), out
+
+    init = (
+        measured_tokens,
+        measured_truth,
+        n_measured,
+        (cache_tokens, cache_pk, cache_vals, cache_truth, n_cache),
+        jnp.int32(0),
+        jnp.int32(1),
+        key,
+    )
+    _, outs = jax.lax.scan(round_body, init, None, length=R)
+    return RunResult(*outs, start_truth=start_truth)
+
+
+class DeviceRandomNAM:
+    """(df, metadata) wrapper over `run_random_nam`."""
+
+    def __init__(
+        self,
+        landscape,
+        alphabet,
+        rounds: int,
+        sequences_batch_size: int,
+        model_queries_per_batch: int,
+        starting_sequence: str,
+        mu: float = 1.0,
+        batch: int = 64,
+        signal_strength: float = 0.9,
+        model: str = "nam",
+        seed: int = 0,
+    ):
+        """Create the fused Random runner for `landscape`."""
+        if model not in ("nam", "perfect"):
+            raise ValueError("model must be 'nam' or 'perfect'")
+        self.landscape = landscape
+        self.alphabet: Alphabet = as_alphabet(alphabet)
+        self.starting_sequence = starting_sequence
+        self.signal_strength = 1.0 if model == "perfect" else signal_strength
+        self.mu = mu
+        self.batch = batch
+        self.seed = seed
+        self.name = f"DeviceRandom_mu={mu}"
+        self.model_name = (
+            f"LandscapeAsModel={landscape.name}"
+            if model == "perfect"
+            else f"NAMb_ss{signal_strength}"
+        )
+        self.cfg = jit_runner.AdaleadConfig(
+            rounds=rounds,
+            sequences_batch_size=sequences_batch_size,
+            model_queries_per_batch=model_queries_per_batch,
+            alphabet_size=len(self.alphabet),
+            perfect_model=(model == "perfect"),
+        )
+        self._fitness_fn, self._fitness_params = landscape.device_fitness()
+
+    def run(self, verbose: bool = True) -> Tuple[pd.DataFrame, dict]:
+        """Execute the fused Random experiment; returns (df, metadata)."""
+        start_time = time.time()
+        start_tokens = jnp.asarray(self.alphabet.encode_one(self.starting_sequence))
+        result = run_random_nam(
+            self._fitness_fn,
+            self._fitness_params,
+            start_tokens,
+            self.cfg,
+            jnp.float32(self.signal_strength),
+            jax.random.PRNGKey(self.seed),
+            self.batch,
+            self.mu,
+        )
+        result = jax.tree.map(np.asarray, result)
+        self.landscape.add_cost(int(result.landscape_cost[-1]))
+
+        rows = {
+            "sequence": [self.starting_sequence],
+            "model_score": [np.nan],
+            "true_score": [float(result.start_truth)],
+            "round": [0],
+            "model_cost": [0],
+            "measurement_cost": [1],
+        }
+        measured = 1
+        for r in range(self.cfg.rounds):
+            valid = result.proposal_valid[r]
+            seqs = self.alphabet.decode(result.proposal_tokens[r][valid])
+            measured += len(seqs)
+            rows["sequence"].extend(seqs)
+            rows["model_score"].extend(result.proposal_preds[r][valid].tolist())
+            rows["true_score"].extend(result.proposal_truth[r][valid].tolist())
+            rows["round"].extend([r + 1] * len(seqs))
+            rows["model_cost"].extend([int(result.model_cost[r])] * len(seqs))
+            rows["measurement_cost"].extend([measured] * len(seqs))
+        df = pd.DataFrame(rows)
+
+        metadata = {
+            "exp_name": self.name,
+            "model_name": self.model_name,
+            "landscape_name": self.landscape.name,
+            "rounds": self.cfg.rounds,
+            "sequences_batch_size": self.cfg.sequences_batch_size,
+            "model_queries_per_batch": self.cfg.model_queries_per_batch,
+        }
+        if verbose:
+            print(
+                f"device Random run: top {df['true_score'].max():.4f}, "
+                f"time {time.time() - start_time:.3f}s"
+            )
+        return df, metadata

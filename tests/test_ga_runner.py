@@ -63,3 +63,24 @@ def test_ga_runner_seed_determinism(landscape):
     a, _ = _run(landscape, seed=3)
     b, _ = _run(landscape, seed=3)
     assert (a["sequence"] == b["sequence"]).all()
+
+
+def test_fused_random_runner(landscape):
+    from flexs_tpu.runtime import DeviceRandomNAM
+
+    runner = DeviceRandomNAM(
+        landscape,
+        flexs.DNAA,
+        rounds=3,
+        sequences_batch_size=5,
+        model_queries_per_batch=30,
+        starting_sequence=flexs.landscapes.tf_binding.STARTS[0],
+        batch=8,
+        signal_strength=0.9,
+        seed=0,
+    )
+    df, meta = runner.run(verbose=False)
+    assert df["round"].max() == 3
+    assert df["sequence"].is_unique
+    recomputed = landscape._fitness_function(df["sequence"].tolist())
+    np.testing.assert_allclose(df["true_score"].to_numpy(), recomputed, atol=1e-6)
