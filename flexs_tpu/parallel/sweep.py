@@ -190,8 +190,9 @@ def run_landscape_robustness_sweep(
     AdditiveAAVPackaging phenotypes) — their params are stacked along the
     cell axis and the fused runner is vmapped over them.
 
-    `algorithm` selects the fused explorer family ("adalead", "ga",
-    "cmaes", "dqn"); `algorithm_kwargs` are its static hyperparameters.
+    `algorithm` selects the fused explorer family ("adalead", "random",
+    "ga", "cmaes", "dqn"); `algorithm_kwargs` are its static
+    hyperparameters.
     """
     alpha: Alphabet = as_alphabet(alphabet)
     fns_params = [land.device_fitness() for land in landscapes]
