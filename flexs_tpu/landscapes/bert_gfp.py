@@ -59,7 +59,10 @@ class BertLayer(nn.Module):
             name="attention",
         )(x, x, mask=mask)
         x = nn.LayerNorm(name="attention_norm")(x + attn)
-        h = nn.gelu(nn.Dense(self.intermediate, name="intermediate")(x))
+        # TAPE uses the exact erf-based gelu (tape modeling: x/2*(1+erf)).
+        h = nn.gelu(
+            nn.Dense(self.intermediate, name="intermediate")(x), approximate=False
+        )
         h = nn.Dense(self.hidden, name="output")(h)
         return nn.LayerNorm(name="output_norm")(x + h)
 
@@ -89,7 +92,9 @@ class ProteinBertRegressor(nn.Module):
             )(x, attn_mask)
 
         pooled = nn.tanh(nn.Dense(self.hidden, name="pooler")(x[:, 0]))
-        h = nn.gelu(nn.Dense(512, name="value_hidden")(pooled))
+        # TAPE's ValuePredictionHead is SimpleMLP(hidden, 512, 1): two
+        # weight-normed Linears with a ReLU between them.
+        h = nn.relu(nn.Dense(512, name="value_hidden")(pooled))
         return nn.Dense(1, name="value_out")(h).squeeze(-1)
 
 
@@ -219,23 +224,69 @@ class BertGFPBrightness(Landscape):
         )
         return init
 
-    def _convert_torch_checkpoint(self, path: str, init):  # pragma: no cover
-        """Map a TAPE ProteinBert torch state dict onto the Flax modules."""
+    def _convert_torch_checkpoint(self, path: str, init):
+        """Map a TAPE ProteinBertForValuePrediction state dict onto Flax.
+
+        Handles TAPE's exact layout (reference bert_gfp.py:75-96 loads this
+        checkpoint through `tape`): HF-style encoder keys under ``bert.``,
+        a tanh pooler, token-type embeddings (folded into the position
+        table since all token-type ids are 0), and a ValuePredictionHead
+        whose SimpleMLP wraps both Linears in torch ``weight_norm``
+        (``weight_g``/``weight_v`` parameter pairs).  Forward agreement
+        with a torch model of identical layout is pinned to 1e-4 in
+        tests/test_gfp_landscape.py.
+        """
         import torch
 
-        sd = torch.load(path, map_location="cpu")
-        sd = {k.replace("bert.", "").replace("module.", ""): v for k, v in sd.items()}
+        raw = torch.load(path, map_location="cpu")
+        if isinstance(raw, dict) and "state_dict" in raw:
+            raw = raw["state_dict"]
+        sd = {}
+        for k, v in raw.items():
+            k = k.replace("module.", "")
+            if k.startswith("bert."):
+                k = k[len("bert.") :]
+            sd[k] = np.asarray(v.detach().numpy() if hasattr(v, "detach") else v)
 
         def t(name):
-            return np.asarray(sd[name].numpy())
+            return sd[name]
 
-        p = jax.tree.map(np.asarray, init)["params"]
+        def norm_pair(prefix):
+            """LayerNorm (scale, bias), accepting weight/bias or gamma/beta."""
+            if prefix + ".weight" in sd:
+                return sd[prefix + ".weight"], sd[prefix + ".bias"]
+            return sd[prefix + ".gamma"], sd[prefix + ".beta"]
+
+        def linear(prefix):
+            """(weight, bias) of a Linear, resolving torch weight_norm."""
+            if prefix + ".weight" in sd:
+                return sd[prefix + ".weight"], sd[prefix + ".bias"]
+            g = sd[prefix + ".weight_g"]
+            v = sd[prefix + ".weight_v"]
+            if g.size == 1:  # weight_norm(dim=None): scalar magnitude
+                w = v * (float(g) / np.linalg.norm(v))
+            else:  # weight_norm(dim=0): per-output-row magnitude
+                w = v * (
+                    g.reshape(-1, 1)
+                    / np.linalg.norm(v.reshape(v.shape[0], -1), axis=1, keepdims=True)
+                )
+            return w, sd[prefix + ".bias"]
+
+        # np.array (not asarray): device arrays give read-only buffers and
+        # the position-table row assignment below needs a writable copy.
+        p = jax.tree.map(lambda a: np.array(a), init)["params"]
         p["token_embed"]["embedding"] = t("embeddings.word_embeddings.weight")
-        p["pos_embed"]["embedding"][: self.max_len] = t(
-            "embeddings.position_embeddings.weight"
-        )[: self.max_len]
-        p["embed_norm"]["scale"] = t("embeddings.LayerNorm.weight")
-        p["embed_norm"]["bias"] = t("embeddings.LayerNorm.bias")
+        n_pos = min(
+            self.module.max_len, sd["embeddings.position_embeddings.weight"].shape[0]
+        )
+        pos = np.array(t("embeddings.position_embeddings.weight")[:n_pos])
+        if "embeddings.token_type_embeddings.weight" in sd:
+            # All token-type ids are 0: the row-0 vector is a constant add
+            # at every position, so fold it into the position table.
+            pos = pos + t("embeddings.token_type_embeddings.weight")[0][None]
+        p["pos_embed"]["embedding"][:n_pos] = pos
+        scale, bias = norm_pair("embeddings.LayerNorm")
+        p["embed_norm"]["scale"], p["embed_norm"]["bias"] = scale, bias
         heads = self.module.heads
         size = self.module.hidden // heads
         for i in range(self.module.layers):
@@ -247,33 +298,51 @@ class BertGFPBrightness(Landscape):
                 ("key", "attention.self.key"),
                 ("value", "attention.self.value"),
             ]:
-                attn[flax_name]["kernel"] = (
-                    t(src + torch_name + ".weight").T.reshape(-1, heads, size)
-                )
-                attn[flax_name]["bias"] = t(src + torch_name + ".bias").reshape(
-                    heads, size
-                )
-            attn["out"]["kernel"] = (
-                t(src + "attention.output.dense.weight").T.reshape(heads, size, -1)
+                w, b = linear(src + torch_name)
+                attn[flax_name]["kernel"] = w.T.reshape(-1, heads, size)
+                attn[flax_name]["bias"] = b.reshape(heads, size)
+            w, b = linear(src + "attention.output.dense")
+            attn["out"]["kernel"] = w.T.reshape(heads, size, -1)
+            attn["out"]["bias"] = b
+            scale, bias = norm_pair(src + "attention.output.LayerNorm")
+            dst["attention_norm"]["scale"] = scale
+            dst["attention_norm"]["bias"] = bias
+            w, b = linear(src + "intermediate.dense")
+            dst["intermediate"]["kernel"], dst["intermediate"]["bias"] = w.T, b
+            w, b = linear(src + "output.dense")
+            dst["output"]["kernel"], dst["output"]["bias"] = w.T, b
+            scale, bias = norm_pair(src + "output.LayerNorm")
+            dst["output_norm"]["scale"], dst["output_norm"]["bias"] = scale, bias
+        w, b = linear("pooler.dense")
+        p["pooler"]["kernel"], p["pooler"]["bias"] = w.T, b
+        # TAPE ValuePredictionHead: SimpleMLP is a Sequential of
+        # (weight_norm Linear, ReLU, Dropout, weight_norm Linear) under
+        # `predict.value_prediction.main.{0,3}`; older exports may lack the
+        # `main.` level or weight_norm — probe the variants.
+        head = None
+        for prefix, hidden_i, out_i in [
+            ("predict.value_prediction.main", 0, 3),
+            ("predict.value_prediction", 0, 3),
+            ("predict.value_prediction", 0, 2),
+        ]:
+            for suffix in (".weight", ".weight_v"):
+                if f"{prefix}.{hidden_i}{suffix}" in sd and (
+                    f"{prefix}.{out_i}{suffix}" in sd
+                ):
+                    head = (prefix, hidden_i, out_i)
+                    break
+            if head:
+                break
+        if head is None:
+            raise KeyError(
+                "no value-prediction head found in checkpoint; keys: "
+                + ", ".join(k for k in sd if "predict" in k)
             )
-            attn["out"]["bias"] = t(src + "attention.output.dense.bias")
-            dst["attention_norm"]["scale"] = t(
-                src + "attention.output.LayerNorm.weight"
-            )
-            dst["attention_norm"]["bias"] = t(src + "attention.output.LayerNorm.bias")
-            dst["intermediate"]["kernel"] = t(src + "intermediate.dense.weight").T
-            dst["intermediate"]["bias"] = t(src + "intermediate.dense.bias")
-            dst["output"]["kernel"] = t(src + "output.dense.weight").T
-            dst["output"]["bias"] = t(src + "output.dense.bias")
-            dst["output_norm"]["scale"] = t(src + "output.LayerNorm.weight")
-            dst["output_norm"]["bias"] = t(src + "output.LayerNorm.bias")
-        p["pooler"]["kernel"] = t("pooler.dense.weight").T
-        p["pooler"]["bias"] = t("pooler.dense.bias")
-        # TAPE ValuePredictionHead: value_prediction.value_prediction.{0,2}
-        p["value_hidden"]["kernel"] = t("predict.value_prediction.0.weight").T
-        p["value_hidden"]["bias"] = t("predict.value_prediction.0.bias")
-        p["value_out"]["kernel"] = t("predict.value_prediction.2.weight").T
-        p["value_out"]["bias"] = t("predict.value_prediction.2.bias")
+        prefix, hidden_i, out_i = head
+        w, b = linear(f"{prefix}.{hidden_i}")
+        p["value_hidden"]["kernel"], p["value_hidden"]["bias"] = w.T, b
+        w, b = linear(f"{prefix}.{out_i}")
+        p["value_out"]["kernel"], p["value_out"]["bias"] = w.T, b
         return {"params": p}
 
     # -- scoring ------------------------------------------------------------
