@@ -243,49 +243,67 @@ class DQN(Explorer):
         self.state = mutant
         return action, mutant
 
-    def pick_action(self, all_measured_seqs) -> Tuple[str, float]:
-        """One walk step: act, score the mutant, store, maybe train."""
-        eps = max(
-            self.epsilon_min,
-            (0.5 - self.model.cost / (self.sequences_batch_size * self.rounds)),
-        )
-        state = self.state.copy()
-        action, new_state = self.get_action_and_mutant(eps)
-        new_state_string = self.alphabet.decode_one(
-            np.argmax(new_state, axis=1).astype(np.int32)
-        )
-        reward = float(np.asarray(self.model.get_fitness([new_state_string]))[0])
-        if new_state_string not in all_measured_seqs:
-            if reward >= self.best_fitness:
-                self.top_sequence.append((reward, new_state, self.model.cost))
-            self.best_fitness = max(self.best_fitness, reward)
-            self.memory.store(
-                state.ravel(), action.ravel(), reward, new_state.ravel()
-            )
-        if (
-            self.model.cost > 0
-            and self.model.cost % self.sequences_batch_size == 0
-            and len(self.memory) >= self.sequences_batch_size
-        ):
-            self.train_actor(self.train_epochs)
-        self.num_actions += 1
-        return new_state_string, reward
-
     def propose_sequences(
         self, measured_sequences_data: pd.DataFrame
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Propose top `sequences_batch_size` sequences for evaluation."""
+        """Propose top `sequences_batch_size` sequences for evaluation.
+
+        TPU-first restructuring of the reference's per-step loop
+        (reference dqn.py:258-297): the epsilon-greedy walk is
+        reward-INDEPENDENT (the state always moves to the chosen mutant,
+        :225-243), so the walk rolls forward `sequences_batch_size` steps
+        at a time and each chunk's mutants are scored in ONE batched model
+        call instead of one singleton call per step.  Q training fires
+        after each chunk — the same every-`sequences_batch_size`-queries
+        cadence as the reference's cost-modulus trigger (:268-273).
+        Documented deviation: epsilon anneals per chunk rather than per
+        step (same schedule sampled more coarsely), and best-fitness /
+        PER storage update after each chunk's scoring instead of per step.
+        """
         if self.num_actions == 0:
             self.initialize_data_structures()
 
         all_measured_seqs = set(measured_sequences_data["sequence"].values)
         sequences = {}
 
-        prev_cost = self.model.cost
-        while self.model.cost - prev_cost < self.model_queries_per_batch:
-            new_state_string, pred = self.pick_action(all_measured_seqs)
-            all_measured_seqs.add(new_state_string)
-            sequences[new_state_string] = pred
+        remaining = self.model_queries_per_batch
+        while remaining > 0:
+            n_steps = min(self.sequences_batch_size, remaining)
+            eps = max(
+                self.epsilon_min,
+                0.5 - self.model.cost / (self.sequences_batch_size * self.rounds),
+            )
+            # Phase 1: roll the walk (Q-network only, no oracle queries).
+            prev_states = np.empty((n_steps, self.seq_len, self.alphabet_size))
+            actions = np.empty_like(prev_states)
+            next_states = np.empty_like(prev_states)
+            for i in range(n_steps):
+                prev_states[i] = self.state
+                actions[i], next_states[i] = self.get_action_and_mutant(eps)
+            # Phase 2: one batched scoring call for the whole chunk.
+            tokens = np.argmax(next_states, axis=2).astype(np.int32)
+            strings = self.alphabet.decode(tokens)
+            rewards = np.asarray(self.model.get_fitness(strings), dtype=np.float64)
+            remaining -= n_steps
+            # Phase 3: bookkeeping + PER storage + train trigger.
+            for i, seq in enumerate(strings):
+                sequences[seq] = rewards[i]
+                if seq not in all_measured_seqs:
+                    if rewards[i] >= self.best_fitness:
+                        self.top_sequence.append(
+                            (rewards[i], next_states[i], self.model.cost)
+                        )
+                    self.best_fitness = max(self.best_fitness, float(rewards[i]))
+                    self.memory.store(
+                        prev_states[i].ravel(),
+                        actions[i].ravel(),
+                        float(rewards[i]),
+                        next_states[i].ravel(),
+                    )
+                    all_measured_seqs.add(seq)
+            if len(self.memory) >= self.sequences_batch_size:
+                self.train_actor(self.train_epochs)
+            self.num_actions += n_steps
 
         new_seqs = np.array(list(sequences.keys()))
         preds = np.array(list(sequences.values()))

@@ -211,3 +211,20 @@ class FlaxModel(Model):
         self._ensure_init(x)
         preds = self._predict(self._params, x)
         return np.nan_to_num(np.asarray(preds[:n], dtype=np.float64))
+
+    def fitness_from_tokens(self, tokens) -> np.ndarray:
+        """Token fast path: one-hot on device, no string round-trip.
+
+        Pads rows to the power-of-two bucket so large enumerations (e.g.
+        GPR_BO's full-space scoring) reuse a handful of compiled shapes.
+        """
+        tokens = np.asarray(tokens)
+        n = len(tokens)
+        bucket = next_bucket(n, minimum=64)
+        x = jax.nn.one_hot(
+            jnp.asarray(pad_rows(tokens, bucket)), len(self.alphabet), jnp.float32
+        )
+        (x,) = self._shard(x)
+        self._ensure_init(x)
+        preds = self._predict(self._params, x)
+        return np.nan_to_num(np.asarray(preds[:n], dtype=np.float64))

@@ -38,7 +38,10 @@ class SklearnModel(Model, abc.ABC):
         self.alphabet = as_alphabet(alphabet)
 
     def _flat_one_hot(self, sequences) -> np.ndarray:
-        tokens = self.alphabet.encode(list(sequences))
+        return self._flat_one_hot_tokens(self.alphabet.encode(list(sequences)))
+
+    def _flat_one_hot_tokens(self, tokens) -> np.ndarray:
+        tokens = np.asarray(tokens)
         eye = np.eye(len(self.alphabet), dtype=np.float64)
         return eye[tokens].reshape(len(tokens), -1)
 
@@ -53,12 +56,20 @@ class SklearnRegressor(SklearnModel, abc.ABC):
     def _fitness_function(self, sequences: SEQUENCES_TYPE) -> np.ndarray:
         return self.model.predict(self._flat_one_hot(sequences))
 
+    def fitness_from_tokens(self, tokens) -> np.ndarray:
+        """Token fast path (no string round-trip)."""
+        return self.model.predict(self._flat_one_hot_tokens(tokens))
+
 
 class SklearnClassifier(SklearnModel, abc.ABC):
     """Class for sklearn classifiers (uses `model.predict_proba(...)[:, 1]`)."""
 
     def _fitness_function(self, sequences: SEQUENCES_TYPE) -> np.ndarray:
         return self.model.predict_proba(self._flat_one_hot(sequences))[:, 1]
+
+    def fitness_from_tokens(self, tokens) -> np.ndarray:
+        """Token fast path (no string round-trip)."""
+        return self.model.predict_proba(self._flat_one_hot_tokens(tokens))[:, 1]
 
 
 class LinearRegression(SklearnRegressor):

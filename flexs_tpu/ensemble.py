@@ -50,3 +50,15 @@ class Ensemble(Model):
             [model.get_fitness(sequences) for model in self.models], axis=1
         )
         return self.combine_with(scores)
+
+    def fitness_from_tokens(self, tokens) -> np.ndarray:
+        """Token fast path: stack member token scores, then combine.
+
+        Raises NotImplementedError if any member lacks a token path, so
+        callers can fall back to the string API wholesale.
+        """
+        scores = np.stack(
+            [np.asarray(model.fitness_from_tokens(tokens)) for model in self.models],
+            axis=1,
+        )
+        return self.combine_with(scores)
