@@ -155,6 +155,20 @@ def _cell_runner(algorithm: str, algorithm_kwargs: tuple):
         kwargs.setdefault("train_epochs", 20)
         kwargs.setdefault("gamma", 0.9)
         return lambda f, p, s, cfg, ss, k: fn(f, p, s, cfg, ss, k, **kwargs)
+    if algorithm == "ppo":
+        from flexs_tpu.runtime.ppo_runner import run_ppo_nam as fn
+
+        kwargs.setdefault("train_epochs", 10)
+        return lambda f, p, s, cfg, ss, k: fn(f, p, s, cfg, ss, k, **kwargs)
+    if algorithm in ("cbas", "dbas"):
+        from flexs_tpu.runtime.cbas_runner import VAEConfig, run_cbas_nam as fn
+
+        kwargs.setdefault("algo", algorithm)
+        kwargs.setdefault("vae_cfg", VAEConfig())
+        kwargs.setdefault("Q", 0.7)
+        kwargs.setdefault("cycle_batch_size", 100)
+        kwargs.setdefault("mutation_rate", 0.2)
+        return lambda f, p, s, cfg, ss, k: fn(f, p, s, cfg, ss, k, **kwargs)
     raise ValueError(f"unknown fused algorithm {algorithm!r}")
 
 

@@ -1,4 +1,9 @@
 """On-device runtime: fully-jitted run loops and sharded sweep engines."""
+from flexs_tpu.runtime.cbas_runner import (  # noqa: F401
+    DeviceCbASNAM,
+    VAEConfig,
+    run_cbas_nam,
+)
 from flexs_tpu.runtime.cmaes_runner import (  # noqa: F401
     DeviceCMAESNAM,
     run_cmaes_nam,
@@ -10,6 +15,10 @@ from flexs_tpu.runtime.dqn_runner import (  # noqa: F401
 from flexs_tpu.runtime.ga_runner import (  # noqa: F401
     DeviceGeneticAlgorithmNAM,
     run_ga_nam,
+)
+from flexs_tpu.runtime.ppo_runner import (  # noqa: F401
+    DevicePPONAM,
+    run_ppo_nam,
 )
 from flexs_tpu.runtime.random_runner import (  # noqa: F401
     DeviceRandomNAM,
