@@ -24,6 +24,7 @@ import pandas as pd
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from flexs_tpu.alphabet import Alphabet, as_alphabet
+from flexs_tpu.parallel import multihost
 from flexs_tpu.runtime.jit_runner import AdaleadConfig, RunResult, run_adalead_nam
 
 
@@ -91,7 +92,10 @@ def sweep_adalead_nam(
     def put(table_idx, start_tokens, signal_strengths, keys):
         if mesh is None:
             return table_idx, start_tokens, signal_strengths, keys
-        cell_sharding = NamedSharding(mesh, P("cells"))
+        # Cells shard over EVERY mesh axis: on a multi-host mesh from
+        # multihost.multihost_sweep_mesh the leading axis follows DCN
+        # (slice) boundaries and no collective crosses it.
+        cell_sharding = NamedSharding(mesh, P(mesh.axis_names))
         return tuple(
             jax.device_put(a, cell_sharding)
             for a in (table_idx, start_tokens, signal_strengths, keys)
@@ -109,12 +113,13 @@ def sweep_adalead_nam(
             table_idx[idx], start_tokens[idx], signal_strengths[idx], keys[idx]
         )
         out = _sweep_impl(tables, *args, cfg)
+        out = multihost.gather_to_host(out)
         results.append(
             jax.tree.map(lambda x, n=sl.stop - sl.start: x[:n], out)
         )
     if len(results) == 1:
         return results[0]
-    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *results)
+    return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *results)
 
 
 @functools.lru_cache(maxsize=64)
@@ -225,9 +230,17 @@ def run_landscape_robustness_sweep(
     land_idx = np.array([c[0] for c in cells], np.int32)
     start_tokens = alpha.encode([c[1] for c in cells])
     ss_arr = np.array([c[2] for c in cells], np.float32)
-    keys = jax.vmap(jax.random.PRNGKey)(
-        jnp.asarray([c[3] for c in cells], jnp.uint32)
-    )
+    seed_arr = np.array([c[3] for c in cells], np.uint32)
+    if mesh is not None:
+        # Pad the cell batch to a multiple of the mesh size so it shards
+        # evenly (padding repeats cell 0; dropped from the summary).
+        pad = (-len(cells)) % mesh.devices.size
+        if pad:
+            land_idx = np.concatenate([land_idx, land_idx[:pad]])
+            start_tokens = np.concatenate([start_tokens, start_tokens[:pad]])
+            ss_arr = np.concatenate([ss_arr, ss_arr[:pad]])
+            seed_arr = np.concatenate([seed_arr, seed_arr[:pad]])
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seed_arr))
     cell_params = jax.tree.map(lambda x: x[land_idx], stacked)
 
     cfg = AdaleadConfig(
@@ -240,7 +253,7 @@ def run_landscape_robustness_sweep(
         algorithm, tuple(sorted((algorithm_kwargs or {}).items()))
     )
 
-    n = len(cells)
+    n = len(land_idx)  # padded cell count (shards evenly over the mesh)
     if chunk_size is None or chunk_size >= n:
         slices = [slice(0, n)]
     else:
@@ -258,16 +271,19 @@ def run_landscape_robustness_sweep(
             keys[idx],
         )
         if mesh is not None:
-            sharding = NamedSharding(mesh, P("cells"))
+            sharding = NamedSharding(mesh, P(mesh.axis_names))
             args = jax.tree.map(lambda x: jax.device_put(x, sharding), args)
         out = _sweep_generic_impl(*args, cfg, fitness_fn, cell_fn)
+        # Gather to host numpy BEFORE slicing: on a multi-host mesh the
+        # device arrays are not fully addressable, and uneven slices would
+        # break the sharding anyway.
+        out = multihost.gather_to_host(out)
         results.append(jax.tree.map(lambda x, k=sl.stop - sl.start: x[:k], out))
     result = (
         results[0]
         if len(results) == 1
-        else jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *results)
+        else jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *results)
     )
-    result = jax.tree.map(np.asarray, result)
 
     truth = np.where(result.proposal_valid, result.proposal_truth, -np.inf)
     max_fitness = np.maximum(truth.max(axis=(1, 2)), result.start_truth)
