@@ -25,6 +25,10 @@ REFERENCE = {
     "cbas": (0.555, 0.693),
     "dbas": (0.679, 0.770),
     "dynappo": (0.934, 0.972),
+    # Fused device runners, judged against the same reference rows.
+    "device-cbas": (0.555, 0.693),
+    "device-dbas": (0.679, 0.770),
+    "device-ppo": (0.934, 0.972),
 }
 
 
@@ -105,6 +109,33 @@ def main():
             return ex.DynaPPO(
                 landscape, starting_sequence=start, env_batch_size=16, seed=0, **common
             )
+        if name in ("device-cbas", "device-dbas"):
+            from flexs_tpu.runtime import DeviceCbASNAM
+
+            return DeviceCbASNAM(
+                landscape,
+                flexs.AAS,
+                rounds=common["rounds"],
+                sequences_batch_size=common["sequences_batch_size"],
+                model_queries_per_batch=common["model_queries_per_batch"],
+                starting_sequence=start,
+                algo=name.split("-")[1],
+                model="perfect",
+                seed=0,
+            )
+        if name == "device-ppo":
+            from flexs_tpu.runtime import DevicePPONAM
+
+            return DevicePPONAM(
+                landscape,
+                flexs.AAS,
+                rounds=common["rounds"],
+                sequences_batch_size=common["sequences_batch_size"],
+                model_queries_per_batch=common["model_queries_per_batch"],
+                starting_sequence=start,
+                model="perfect",
+                seed=0,
+            )
         raise ValueError(name)
 
     print(f"{'explorer':<10} {'ours mean/best':>16} {'reference':>16}  time")
@@ -115,7 +146,10 @@ def main():
             landscape = rosetta.RosettaFolding(**problem["params"])
             model = flexs.LandscapeAsModel(landscape)
             explorer = make(name, model, landscape, start)
-            df, _ = explorer.run(landscape, verbose=False)
+            if name.startswith("device-"):
+                df, _ = explorer.run(verbose=False)
+            else:
+                df, _ = explorer.run(landscape, verbose=False)
             maxes.append(df["true_score"].max())
         ref = REFERENCE[name]
         print(
