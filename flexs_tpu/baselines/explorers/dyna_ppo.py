@@ -159,6 +159,7 @@ class DynaPPO(Explorer):
         num_model_rounds: int = 1,
         env_batch_size: int = 4,
         seed: int = 0,
+        agent_kwargs: Optional[dict] = None,
     ):
         """Create the constructive DyNA-PPO explorer.
 
@@ -167,6 +168,9 @@ class DynaPPO(Explorer):
                 in the name).
             num_model_rounds: Model-based training phases per round.
             env_batch_size: Episodes run in parallel per collect step.
+            agent_kwargs: Overrides for the PPOAgent (e.g. learning_rate,
+                normalize_observations) — used by the normalization
+                ablation (scripts/ppo_ablation.py).
         """
         name = f"DynaPPO_Agent_{num_experiment_rounds}_{num_model_rounds}"
 
@@ -206,6 +210,7 @@ class DynaPPO(Explorer):
             fc_layers=(128,),
             train_epochs=10,
             seed=seed,
+            **(agent_kwargs or {}),
         )
 
     def _collect_episode_batch(self, traj, sequences):
@@ -303,6 +308,7 @@ class DynaPPOMutative(Explorer):
         num_experiment_rounds: int = 10,
         num_model_rounds: int = 1,
         seed: int = 0,
+        agent_kwargs: Optional[dict] = None,
     ):
         """Create the mutative DyNA-PPO explorer."""
         name = f"DynaPPO_Agent_{num_experiment_rounds}_{num_model_rounds}"
@@ -348,6 +354,7 @@ class DynaPPOMutative(Explorer):
             fc_layers=(128,),
             train_epochs=10,
             seed=seed,
+            **(agent_kwargs or {}),
         )
 
     def _reseed_env(self, sequences):
