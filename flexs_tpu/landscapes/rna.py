@@ -39,19 +39,15 @@ _COMPLEMENTS = {"A": "U", "C": "G", "G": "C", "U": "A"}
 def _rna_binding_fitness(params, tokens):
     """Pure fitness: mean over targets of normalized duplex energy.
 
-    params = (targets_rev [T, L2], stack, consts, loop_cost, norms [T],
+    params = (targets_rev [T, L2], energy-model pytree, norms [T],
               conserved_pattern [L1] (-1 where unconstrained)).
     Module-level for stable jit identity (fused runners key on it).
     """
-    targets_rev, stack, consts, loop_cost, norms, conserved = params
-    maxloop = loop_cost.shape[0] - 2
+    targets_rev, em, norms, conserved = params
+    maxloop = em["interior_cost"].shape[0] - 2
 
     def one_target(target_rev, norm):
-        e = jax.vmap(
-            lambda s: rna_duplex._duplex_dp(
-                s, target_rev, stack, consts, loop_cost, maxloop
-            )
-        )(tokens)
+        e = rna_duplex.duplex_energy_from_slabs(tokens, target_rev, em, maxloop)
         return e / norm
 
     fit = jnp.mean(jax.vmap(one_target)(targets_rev, norms), axis=0)
@@ -105,17 +101,7 @@ class RNABinding(Landscape):
             conserved[start : start + len(pattern)] = pattern
         self._fitness_params = (
             target_rev,
-            jnp.asarray(self.params.stack),
-            jnp.array(
-                [
-                    self.params.duplex_init,
-                    self.params.terminal_au,
-                    self.params.end_bonus,
-                    0.0,
-                ],
-                jnp.float32,
-            ),
-            jnp.asarray(self.params.loop_cost_matrix()),
+            self.params.energy_model(),
             jnp.asarray(self.norm_values, jnp.float32),
             jnp.asarray(conserved),
         )

@@ -47,10 +47,15 @@ def load() -> ctypes.CDLL:
         ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int32,
-        ctypes.POINTER(ctypes.c_float),
-        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),  # stack
+        ctypes.POINTER(ctypes.c_float),  # mA
+        ctypes.POINTER(ctypes.c_float),  # mB
+        ctypes.POINTER(ctypes.c_float),  # int11
+        ctypes.POINTER(ctypes.c_float),  # ext5
+        ctypes.POINTER(ctypes.c_float),  # ext3
+        ctypes.POINTER(ctypes.c_float),  # interior_cost
+        ctypes.POINTER(ctypes.c_float),  # bulge_sizes
         ctypes.c_int32,
-        ctypes.c_float,
         ctypes.c_float,
         ctypes.c_float,
         ctypes.POINTER(ctypes.c_float),
@@ -103,8 +108,7 @@ def rna_duplex_energy_batch(seq_tokens, target_tokens, params=None) -> np.ndarra
     target_rev = np.ascontiguousarray(
         np.asarray(target_tokens, np.int32)[::-1]
     )
-    stack = np.ascontiguousarray(params.stack, np.float32)
-    loop_cost = np.ascontiguousarray(params.loop_cost_matrix(), np.float32)
+    c = lambda a: np.ascontiguousarray(a, np.float32)
     batch, l1 = seq_tokens.shape
     out = np.empty(batch, np.float32)
     load().rna_duplex_energy_batch(
@@ -113,12 +117,17 @@ def rna_duplex_energy_batch(seq_tokens, target_tokens, params=None) -> np.ndarra
         np.int32(l1),
         _i32p(target_rev),
         np.int32(len(target_rev)),
-        _f32p(stack),
-        _f32p(loop_cost),
+        _f32p(c(params.stack)),
+        _f32p(c(params.mA)),
+        _f32p(c(params.mB)),
+        _f32p(c(params.int11)),
+        _f32p(c(params.ext5)),
+        _f32p(c(params.ext3)),
+        _f32p(c(params.interior_cost_matrix())),
+        _f32p(c(params.bulge_sizes)),
         np.int32(params.maxloop),
         np.float32(params.duplex_init),
         np.float32(params.terminal_au),
-        np.float32(params.end_bonus),
         _f32p(out),
     )
     return out

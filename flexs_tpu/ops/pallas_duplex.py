@@ -1,15 +1,27 @@
 """Pallas TPU kernel for the RNA duplex DP (the benchmark's hottest oracle).
 
 The XLA path (flexs_tpu/ops/rna_duplex.py) expresses the recursion as a
-`lax.scan` whose body materializes a [D-1, D-1, L2] rolled tensor per row.
+`lax.scan` whose body materializes a [D-2, D-2, L2] rolled tensor per row.
 This kernel keeps the entire rolling DP window in VMEM and walks the rows
-with on-chip shifts — no HBM traffic inside the recursion at all:
+with on-chip shifts — no HBM round trip inside the recursion at all.
 
-  * grid = (batch,): one program instance per sequence;
-  * sequence-dependent energies (pair types, stack transitions, open/close
-    terms) are precomputed OUTSIDE the kernel by plain XLA gathers, so the
-    kernel body is pure min-plus arithmetic on lane-aligned rows;
-  * the [D, L2] window lives in VMEM scratch.
+Design (v2 — replaces the round-1 kernel whose grid was (groups, L1) and
+which paid a fixed per-grid-step cost ~0.2-0.4 ms on this toolchain, see
+CLAUDE.md "per-dispatch costs"):
+
+  * grid = (batch_groups,): ONE grid step per 64 sequences; the row loop
+    lives inside the kernel as a `fori_loop`;
+  * all sequence-dependent energies (pair opens/closes, stack transitions,
+    1-bulge stack-throughs, the joint 1x1 table, interior mismatches) are
+    gathered OUTSIDE the kernel by plain XLA ops into one packed slab
+    [groups, L1, 9, SUBLANES, L2p] that stays in HBM (memory_space=ANY);
+  * each row's [9, SUBLANES, L2p] slab is DMA'd into a double-buffered
+    VMEM scratch, overlapping the copy of row i+1 with the compute of
+    row i, so the kernel body is pure min-plus arithmetic on lane-aligned
+    tiles;
+  * the three [D-1, SUBLANES, L2p] window channels (raw, +interior
+    mismatch, +bulge-AU) live in VMEM scratch across rows;
+  * the scalar size-cost tables sit in SMEM.
 
 `duplex_energy_batch_pallas` matches `rna_duplex.duplex_energy_batch`
 numerically (tests/test_pallas_duplex.py); `interpret=True` is selected
@@ -26,105 +38,126 @@ from flexs_tpu.ops import rna_duplex as rd
 
 _INF = rd._INF
 
-
-def _precompute_terms(seq_tokens, target_rev, stack_tbl, consts):
-    """Sequence-dependent per-cell energies, computed with XLA gathers.
-
-    Returns (open_e, stack_e, close_add) each f32[B, L1, L2]:
-      open_e: duplex-initiation cost at (i, j), +inf where unpairable;
-      stack_e: stack-transition energy from (i-1, j-1) into (i, j);
-      close_add: terminal cost added when a duplex ends at (i, j).
-    """
-    duplex_init, terminal_au, end_bonus, _ = consts
-    pair_tbl = jnp.asarray(rd.PAIR_TABLE)
-    weak = jnp.asarray(rd.WEAK_PAIR)
-
-    ptype = pair_tbl[seq_tokens[:, :, None], target_rev[None, None, :]]
-    pairable = ptype > 0
-
-    open_e = jnp.where(pairable, duplex_init + terminal_au * weak[ptype], _INF)
-    close_add = terminal_au * weak[ptype] + end_bonus
-
-    # Stack transition into (i, j) uses the pair type at (i-1, j-1).
-    ptype_prev = jnp.roll(jnp.roll(ptype, 1, axis=1), 1, axis=2)
-    stack_vals = stack_tbl[ptype_prev, ptype]
-    stack_vals = stack_vals.at[:, 0, :].set(_INF)  # no predecessor row
-    stack_vals = stack_vals.at[:, :, 0].set(_INF)  # no predecessor col
-    stack_e = jnp.where(pairable, stack_vals, _INF)
-    return open_e, stack_e, close_add
-
+# Slab channel indices in the packed per-row tensor.
+_OPEN, _STACK, _B1S, _B1T, _I11, _MB, _MA, _AU, _CLOSE = range(9)
+_N_SLABS = 9
 
 SUBLANES = 64  # sequences per program instance (8 VPU sublane tiles deep)
 
 
-def _duplex_kernel(open_ref, stack_ref, close_ref, cost_ref, out_ref, window, best, *, d, l1):
-    """One DP row per grid step; the window persists in VMEM scratch.
+# Per-cell slabs come from the trigram-factored one-hot-matmul builder in
+# rna_duplex (shared channel order); see rd.build_slabs.
 
-    Grid = (batch_groups, L1): the row index rides the grid (BlockSpec
-    index maps deliver exactly this row's terms — no traced dynamic
-    indexing inside the kernel), and TPU grid steps execute sequentially
-    per core, so the scratch window carries the recursion across rows.
-    Every tensor the VPU touches is [SUBLANES, L2]-shaped.
+
+def _duplex_kernel(
+    slabs_hbm, icost_ref, bseq_ref, btgt_ref, out_ref,
+    buf, win_c, win_ca, win_cw, best, sem, *, d, l1
+):
+    """One program per 64-sequence group; rows walked by a fori_loop.
+
+    slabs_hbm: ANY-space f32[G, L1, 9, S, L2p] — row slabs DMA'd in.
+    icost/bseq/btgt: SMEM size-cost tables (interior [d, d], bulges).
+    Scratch: buf f32[2, 9, S, L2p] double buffer, three window channels
+    f32[d-1, S, L2p], best f32[S, 1], sem: 2 DMA semaphores.
     """
-    i = pl.program_id(1)
-    l2 = open_ref.shape[3]
-
-    @pl.when(i == 0)
-    def _():
-        window[...] = jnp.full((d, SUBLANES, l2), _INF, jnp.float32)
-        best[...] = jnp.full((SUBLANES, 1), _INF, jnp.float32)
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, l2), 1)
-
-    # Loop-invariant cost scalars (statically skipping +inf combinations:
-    # loop too large, or the (1,1) stack case handled separately).
+    g = pl.program_id(0)
+    l2p = buf.shape[3]
     maxloop = d - 2
-    cost_scalars = {
-        (di, dj): cost_ref[di, dj]
-        for dj in range(1, d)
-        for di in range(1, d)
-        if (di - 1) + (dj - 1) <= maxloop and not (di == 1 and dj == 1)
-    }
+
+    win_c[...] = jnp.full(win_c.shape, _INF, jnp.float32)
+    win_ca[...] = jnp.full(win_ca.shape, _INF, jnp.float32)
+    win_cw[...] = jnp.full(win_cw.shape, _INF, jnp.float32)
+    best[...] = jnp.full(best.shape, _INF, jnp.float32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, l2p), 1)
 
     def shift_right(rows, k):
-        # rows [S, L2] shifted right by k lanes; vacated lanes become +inf.
+        # rows [S, L2p] shifted right by k lanes; vacated lanes -> +inf.
         rolled = pltpu.roll(rows, k, axis=1)
         return jnp.where(col < k, _INF, rolled)
 
-    open_e = open_ref[0, 0, :, :]
-    stack_e = stack_ref[0, 0, :, :]
-    close_add = close_ref[0, 0, :, :]
+    def row_dma(slot, i):
+        return pltpu.make_async_copy(
+            slabs_hbm.at[g, i], buf.at[slot], sem.at[slot]
+        )
 
-    acc = jnp.minimum(open_e, shift_right(window[0], 1) + stack_e)
+    row_dma(0, 0).start()
 
-    for dj in range(1, d):
-        col_min = None
-        for di in range(1, d):
-            if (di, dj) not in cost_scalars:
+    # Statically valid generic-interior combos: window row r holds DP row
+    # i-1-r => di = r+1; n1 = di-1, n2 = dj-1; skip the 1x1 (joint table).
+    interior_combos = [
+        (r, dj)
+        for dj in range(2, d)
+        for r in range(1, d - 1)
+        if (r + dj - 1) <= maxloop and not (r == 1 and dj == 2)
+    ]
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < l1)
+        def _():
+            row_dma(1 - slot, i + 1).start()
+
+        row_dma(slot, i).wait()
+
+        open_e = buf[slot, _OPEN]
+        acc = jnp.minimum(open_e, shift_right(win_c[0], 1) + buf[slot, _STACK])
+        acc = jnp.minimum(acc, shift_right(win_c[1], 1) + buf[slot, _B1S])
+        acc = jnp.minimum(acc, shift_right(win_c[0], 2) + buf[slot, _B1T])
+        acc = jnp.minimum(acc, shift_right(win_c[1], 2) + buf[slot, _I11])
+
+        # Generic interior loops: dj-outer, rows reduced sequentially.
+        loop_min = None
+        for dj in range(2, d):
+            col_min = None
+            for r, dj2 in interior_combos:
+                if dj2 != dj:
+                    continue
+                cand = win_ca[r] + icost_ref[r + 1, dj]
+                col_min = cand if col_min is None else jnp.minimum(col_min, cand)
+            if col_min is None:
                 continue
-            cand = window[di - 1] + cost_scalars[(di, dj)]
-            col_min = cand if col_min is None else jnp.minimum(col_min, cand)
-        if col_min is not None:
-            acc = jnp.minimum(acc, shift_right(col_min, dj))
+            shifted = shift_right(col_min, dj)
+            loop_min = shifted if loop_min is None else jnp.minimum(loop_min, shifted)
+        acc = jnp.minimum(acc, loop_min + buf[slot, _MB])
 
-    # Unpairable cells (open_e == +inf) admit no path at all.
-    acc = jnp.where(open_e >= _INF / 2, _INF, acc)
+        # Bulges of >= 2 unpaired bases.
+        au_e = buf[slot, _AU]
+        bs_min = None
+        for r in range(2, maxloop + 1):
+            cand = win_cw[r] + bseq_ref[r]
+            bs_min = cand if bs_min is None else jnp.minimum(bs_min, cand)
+        acc = jnp.minimum(acc, shift_right(bs_min, 1) + au_e)
+        bt_min = None
+        for dj in range(3, maxloop + 2):
+            cand = shift_right(win_cw[0], dj) + btgt_ref[dj]
+            bt_min = cand if bt_min is None else jnp.minimum(bt_min, cand)
+        acc = jnp.minimum(acc, bt_min + au_e)
 
-    best[...] = jnp.minimum(
-        best[...], jnp.min(acc + close_add, axis=1, keepdims=True)
-    )
-    window[...] = jnp.concatenate([acc[None], window[: d - 1]], axis=0)
+        # Unpairable cells (open_e == +inf) admit no path at all.
+        acc = jnp.where(open_e >= _INF / 2, _INF, acc)
 
-    @pl.when(i == l1 - 1)
-    def _():
-        result = jnp.where(best[...] >= _INF / 2, 0.0, best[...])
-        out_ref[0, :, :] = jnp.broadcast_to(result, (SUBLANES, 128))
+        best[...] = jnp.minimum(
+            best[...], jnp.min(acc + buf[slot, _CLOSE], axis=1, keepdims=True)
+        )
+        win_c[...] = jnp.concatenate([acc[None], win_c[: d - 2]], axis=0)
+        win_ca[...] = jnp.concatenate(
+            [(acc + buf[slot, _MA])[None], win_ca[: d - 2]], axis=0
+        )
+        win_cw[...] = jnp.concatenate(
+            [(acc + au_e)[None], win_cw[: d - 2]], axis=0
+        )
+        return 0
+
+    jax.lax.fori_loop(0, l1, body, 0)
+
+    result = jnp.where(best[...] >= _INF / 2, 0.0, best[...])
+    out_ref[0] = jnp.broadcast_to(result, (SUBLANES, 128))
 
 
 @partial(jax.jit, static_argnames=("maxloop", "interpret"))
-def _pallas_duplex_batch(
-    seq_tokens, target_rev, stack_tbl, consts, loop_cost, maxloop: int, interpret: bool
-):
+def _pallas_duplex_batch(seq_tokens, target_rev, em, maxloop: int, interpret: bool):
     d = maxloop + 2
     b, l1 = seq_tokens.shape
     l2 = target_rev.shape[0]
@@ -134,43 +167,51 @@ def _pallas_duplex_batch(
     bp = ((b + SUBLANES - 1) // SUBLANES) * SUBLANES
     if bp != b:
         seq_tokens = jnp.pad(seq_tokens, [(0, bp - b), (0, 0)])
+    groups = bp // SUBLANES
 
-    open_e, stack_e, close_add = _precompute_terms(
-        seq_tokens, target_rev, stack_tbl, consts
+    slabs = rd.build_slabs(seq_tokens, target_rev, em)  # [B, L1, 9, L2]
+    # Pad lanes: +inf for path terms so padded lanes admit no duplex.
+    pad_vals = jnp.array(
+        [_INF, _INF, _INF, _INF, _INF, 0.0, 0.0, 0.0, 0.0], jnp.float32
     )
-    pad = [(0, 0), (0, 0), (0, l2p - l2)]
-    open_e = jnp.pad(open_e, pad, constant_values=_INF)
-    stack_e = jnp.pad(stack_e, pad, constant_values=_INF)
-    close_add = jnp.pad(close_add, pad, constant_values=0.0)
+    slabs = jnp.concatenate(
+        [
+            slabs,
+            jnp.broadcast_to(
+                pad_vals[None, None, :, None], (bp, l1, _N_SLABS, l2p - l2)
+            ),
+        ],
+        axis=3,
+    )
+    # [B, L1, 9, L2p] -> [G, L1, 9, S, L2p]: program g owns sequences
+    # g*S .. g*S+S-1 as sublanes.
+    slabs = slabs.reshape(groups, SUBLANES, l1, _N_SLABS, l2p).transpose(
+        0, 2, 3, 1, 4
+    )
 
-    def regroup(x):
-        # [B, L1, L2p] -> [B/S, L1, S, L2p]: program p owns sequences
-        # p*S .. p*S+S-1 as sublanes.
-        return x.reshape(bp // SUBLANES, SUBLANES, l1, l2p).transpose(0, 2, 1, 3)
-
-    def row_spec():
-        # [B/S, L1, S, L2p] -> one [1(row), S, L2p] block per (group, row).
-        return pl.BlockSpec(
-            (1, 1, SUBLANES, l2p), lambda g, i: (g, i, 0, 0)
-        )
+    bulge_seq, bulge_tgt = em["bulge_seq"], em["bulge_tgt"]
 
     out = pl.pallas_call(
         partial(_duplex_kernel, d=d, l1=l1),
-        grid=(bp // SUBLANES, l1),
+        grid=(groups,),
         in_specs=[
-            row_spec(),
-            row_spec(),
-            row_spec(),
-            pl.BlockSpec((d, d), lambda g, i: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, SUBLANES, 128), lambda g, i: (g, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bp // SUBLANES, SUBLANES, 128), jnp.float32),
+        out_specs=pl.BlockSpec((1, SUBLANES, 128), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((groups, SUBLANES, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((d, SUBLANES, l2p), jnp.float32),
+            pltpu.VMEM((2, _N_SLABS, SUBLANES, l2p), jnp.float32),
+            pltpu.VMEM((d - 1, SUBLANES, l2p), jnp.float32),
+            pltpu.VMEM((d - 1, SUBLANES, l2p), jnp.float32),
+            pltpu.VMEM((d - 1, SUBLANES, l2p), jnp.float32),
             pltpu.VMEM((SUBLANES, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(regroup(open_e), regroup(stack_e), regroup(close_add), loop_cost)
+    )(slabs, em["interior_cost"], bulge_seq, bulge_tgt)
     return out[:, :, 0].reshape(bp)[:b]
 
 
@@ -181,16 +222,10 @@ def duplex_energy_batch_pallas(
     params = params or rd.DEFAULT_PARAMS
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    consts = jnp.array(
-        [params.duplex_init, params.terminal_au, params.end_bonus, 0.0],
-        jnp.float32,
-    )
     return _pallas_duplex_batch(
         jnp.asarray(seq_tokens),
         jnp.asarray(target_tokens)[::-1],
-        jnp.asarray(params.stack),
-        consts,
-        jnp.asarray(params.loop_cost_matrix()),
+        params.energy_model(),
         params.maxloop,
         interpret,
     )

@@ -25,6 +25,33 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def amortized_seconds_per_call(fn, *args, reps: int = 20) -> float:
+    """Relay-safe device timing: amortized wall seconds per `fn(*args)`.
+
+    Through the remote TPU relay `.block_until_ready()` does not actually
+    block (async relay — see CLAUDE.md), so naive timings are mirages.
+    This pipelines `reps` calls and fetches the last result with
+    `np.asarray`, which DOES round-trip; the per-call time is the
+    amortized wall clock.  One warmup call absorbs compilation.
+    """
+    import numpy as np
+
+    out = fn(*args)
+    np.asarray(jax_leaf(out))
+    start = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    np.asarray(jax_leaf(out))
+    return (time.perf_counter() - start) / reps
+
+
+def jax_leaf(tree):
+    """First array leaf of a pytree (the fetch target for timing)."""
+    import jax
+
+    return jax.tree.leaves(tree)[0]
+
+
 class RoundTimer:
     """Accumulates per-round wall-clock spans for an experiment loop."""
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flexs_tpu.ops import rna_duplex as rd
-from flexs_tpu.ops.pallas_duplex import _pallas_duplex_batch, _precompute_slabs
+from flexs_tpu.ops.pallas_duplex import _pallas_duplex_batch
 
 TARGET_L2 = 100
 REPS = 20
@@ -51,34 +51,40 @@ def main():
     print(f"dispatch floor (trivial jit): {floor * 1e3:.2f} ms", flush=True)
 
     @jax.jit
-    def xla_path(tokens):
+    def gather_path(tokens):
         return jax.vmap(lambda s: rd._duplex_dp(s, target_rev, em, params.maxloop))(
             tokens
         )
 
-    def pallas_path(tokens):
-        return _pallas_duplex_batch(
-            tokens, target_rev, em, params.maxloop, False
-        )
+    @jax.jit
+    def slab_path(tokens):
+        return rd.duplex_energy_from_slabs(tokens, target_rev, em, params.maxloop)
 
-    # Slab precompute alone (to split the pallas cost).
+    def pallas_path(tokens):
+        return _pallas_duplex_batch(tokens, target_rev, em, params.maxloop, False)
+
+    # Slab precompute alone, reduced to a scalar so the host fetch is tiny.
     @jax.jit
     def slabs_only(tokens):
-        return _precompute_slabs(tokens, target_rev, em)
+        return jnp.sum(rd.build_slabs(tokens, target_rev, em))
 
     for L1 in (14, 100):
         for B in (512, 4096):
             tokens = jnp.asarray(
                 rng.integers(0, 4, size=(B, L1), dtype=np.int32)
             )
-            t_xla = bench(xla_path, tokens)
-            row = f"L{L1} B{B}: xla {t_xla*1e3:8.2f} ms ({B/t_xla:9.0f} seq/s)"
+            t_g = bench(gather_path, tokens)
+            t_s = bench(slab_path, tokens)
+            row = (
+                f"L{L1} B{B}: gather {t_g*1e3:8.2f} ms ({B/t_g:9.0f} seq/s)"
+                f" | slab-xla {t_s*1e3:8.2f} ms ({B/t_s:9.0f} seq/s)"
+            )
             if jax.default_backend() == "tpu":
                 t_pal = bench(pallas_path, tokens)
-                t_slab = bench(slabs_only, tokens)
+                t_pre = bench(slabs_only, tokens)
                 row += (
                     f" | pallas {t_pal*1e3:8.2f} ms ({B/t_pal:9.0f} seq/s)"
-                    f" [slabs {t_slab*1e3:.2f} ms] | speedup {t_xla/t_pal:.2f}x"
+                    f" [precompute {t_pre*1e3:.2f} ms]"
                 )
             print(row, flush=True)
 

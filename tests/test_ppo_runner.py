@@ -31,8 +31,10 @@ def test_schema_and_costs(landscape):
     df, meta = _run(landscape)
     assert df["round"].max() == 2
     assert df["sequence"].is_unique  # proposals novelty-filtered vs measured
-    # Budget spent exactly: every step/reset costs one model query.
-    assert df["model_cost"].max() == 2 * 50
+    # Budget spent fully; a round may overshoot by one query when a reset
+    # and a scored step land in the same loop iteration (host explorer
+    # semantics: ppo.py:92-109 checks the budget between queries).
+    assert 2 * 50 <= df["model_cost"].max() <= 2 * 51
     assert meta["exp_name"] == "DevicePPO_Agent"
 
 
@@ -76,4 +78,4 @@ def test_ppo_in_generic_sweep(landscape):
     )
     assert len(df) == 1
     assert df["max_fitness"].iloc[0] >= df["start_fitness"].iloc[0]
-    assert df["model_cost"].iloc[0] == 2 * 50
+    assert 2 * 50 <= df["model_cost"].iloc[0] <= 2 * 51

@@ -101,10 +101,11 @@ def test_agreement_with_viennarna_outputs():
 
     corr = np.corrcoef(ours, truth)[0, 1]
     mae = np.abs(ours - truth).mean()
-    # Calibrated model (scripts/calibrate_rna.py): holdout pearson 0.971,
-    # MAE 0.029; gate slightly below to absorb re-calibration jitter.
-    assert corr > 0.95, f"pearson {corr:.4f}"
-    assert mae < 0.05, f"MAE {mae:.4f}"
+    # Calibrated round-2 model (scripts/calibrate_rna.py; full E_IntLoop
+    # functional form + two-phase MSE/Huber fit): holdout pearson 0.9993,
+    # MAE 0.0021. Gate slightly below to absorb re-calibration jitter.
+    assert corr > 0.995, f"pearson {corr:.4f}"
+    assert mae < 0.005, f"MAE {mae:.4f}"
 
 
 def test_rna_folding_orders_structures():
