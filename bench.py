@@ -76,6 +76,25 @@ def run_sweep(n_landscapes: int = 40):
     return wall, seqs, float(df["max_fitness"].mean()), len(df)
 
 
+def run_rna_oracle(batch: int = 512, l1: int = 100, reps: int = 20):
+    """RNA duplex oracle throughput (Pallas kernel, L100 problem size)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flexs_tpu.ops import rna_duplex as rd
+    from flexs_tpu.ops.pallas_duplex import duplex_energy_batch_pallas
+    from flexs_tpu.utils.profiling import amortized_seconds_per_call
+
+    rng = np.random.default_rng(0)
+    params = rd.DuplexParams.calibrated()
+    tokens = jnp.asarray(rng.integers(0, 4, size=(batch, l1), dtype=np.int32))
+    target = rng.integers(0, 4, size=100, dtype=np.int32)
+    sec = amortized_seconds_per_call(
+        lambda t: duplex_energy_batch_pallas(t, target, params), tokens, reps=reps
+    )
+    return batch / sec
+
+
 def main():
     # Single-run path (compile warmup + median of 3).
     run_once(seed=0)
@@ -92,6 +111,8 @@ def main():
     # sweep throughput; cells also shard across a mesh on multi-chip).
     sweep_wall, sweep_seqs, mean_max, cells = run_sweep()
     sweep_sps = sweep_seqs / sweep_wall
+
+    rna_sps = run_rna_oracle()
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json"
@@ -117,6 +138,7 @@ def main():
                     round(single_sps / base_sps, 2) if base_sps else None
                 ),
                 "top_fitness": round(max(tops), 4),
+                "rna_oracle_L100_seqs_per_sec": round(rna_sps, 1),
             }
         )
     )
