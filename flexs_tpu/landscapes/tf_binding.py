@@ -69,6 +69,18 @@ def _packed_tables():
     return names, tables
 
 
+@functools.lru_cache(maxsize=1)
+def _device_tables():
+    """(names, the stacked tables resident on device) — uploaded ONCE.
+
+    A fresh host array costs ~40 ms through the remote TPU relay
+    regardless of size (CLAUDE.md); constructing many TFBinding instances
+    (benchmarks, sweeps) must not re-upload 256 KB score rows each time.
+    """
+    names, tables = _packed_tables()
+    return names, jnp.asarray(tables)
+
+
 def _tokens_to_index(tokens) -> jnp.ndarray:
     """Base-4 index of int[batch, 8] DNA tokens (alphabet order TGCA)."""
     tokens = jnp.asarray(tokens)
@@ -134,7 +146,7 @@ class TFBinding(Landscape):
         elif landscape_file is not None:
             self.table = jnp.asarray(table_from_tsv(landscape_file))
         elif name is not None:
-            names, tables = _packed_tables()
+            names, tables = _device_tables()
             try:
                 i = names.index(name)
             except ValueError:
@@ -142,7 +154,7 @@ class TFBinding(Landscape):
                     f"Unknown TF-binding landscape {name!r}; "
                     f"known: {names[:5]}... ({len(names)} total)"
                 ) from None
-            self.table = jnp.asarray(tables[i])
+            self.table = tables[i]  # device-side slice, no host upload
         else:
             raise ValueError("Provide one of `landscape_file`, `name`, `table`")
 

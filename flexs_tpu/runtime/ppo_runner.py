@@ -38,7 +38,7 @@ from flexs_tpu.alphabet import Alphabet, as_alphabet
 from flexs_tpu.ops import packed_hamming
 from flexs_tpu.rl.ppo import ActorCritic
 from flexs_tpu.runtime import jit_runner
-from flexs_tpu.runtime.jit_runner import RunResult, _dists_to_cache, _masked_append
+from flexs_tpu.runtime.jit_runner import RunResult, device_run_args, fetch_run_result, _dists_to_cache, _masked_append
 
 
 @partial(
@@ -575,17 +575,20 @@ class DevicePPONAM:
     def run(self, verbose: bool = True) -> Tuple[pd.DataFrame, dict]:
         """Execute the fused PPO experiment; returns (df, metadata)."""
         start_time = time.time()
-        start_tokens = jnp.asarray(self.alphabet.encode_one(self.starting_sequence))
+        start_tokens, ss, key = device_run_args(
+            self.alphabet.letters, self.starting_sequence,
+            float(self.signal_strength), self.seed,
+        )
         result = run_ppo_nam(
             self._fitness_fn,
             self._fitness_params,
             start_tokens,
             self.cfg,
-            jnp.float32(self.signal_strength),
-            jax.random.PRNGKey(self.seed),
+            ss,
+            key,
             train_epochs=self.train_epochs,
         )
-        result = jax.tree.map(np.asarray, result)
+        result = fetch_run_result(result)
         self.landscape.add_cost(int(result.landscape_cost[-1]))
 
         rows = {

@@ -20,7 +20,7 @@ import pandas as pd
 from flexs_tpu.alphabet import Alphabet, as_alphabet
 from flexs_tpu.ops import packed_hamming
 from flexs_tpu.runtime import jit_runner
-from flexs_tpu.runtime.jit_runner import RunResult, _dists_to_cache, _masked_append
+from flexs_tpu.runtime.jit_runner import RunResult, device_run_args, fetch_run_result, _dists_to_cache, _masked_append
 
 
 @partial(jax.jit, static_argnames=("cfg", "fitness_fn", "batch", "mu"))
@@ -292,18 +292,21 @@ class DeviceRandomNAM:
     def run(self, verbose: bool = True) -> Tuple[pd.DataFrame, dict]:
         """Execute the fused Random experiment; returns (df, metadata)."""
         start_time = time.time()
-        start_tokens = jnp.asarray(self.alphabet.encode_one(self.starting_sequence))
+        start_tokens, ss, key = device_run_args(
+            self.alphabet.letters, self.starting_sequence,
+            float(self.signal_strength), self.seed,
+        )
         result = run_random_nam(
             self._fitness_fn,
             self._fitness_params,
             start_tokens,
             self.cfg,
-            jnp.float32(self.signal_strength),
-            jax.random.PRNGKey(self.seed),
+            ss,
+            key,
             self.batch,
             self.mu,
         )
-        result = jax.tree.map(np.asarray, result)
+        result = fetch_run_result(result)
         self.landscape.add_cost(int(result.landscape_cost[-1]))
 
         rows = {
