@@ -184,9 +184,25 @@ class DuplexParams:
             else _loop_tail(_INTERIOR, maxloop)[: maxloop + 1]
         )
 
+    _calibrated_cache = {}
+
     @classmethod
     def calibrated(cls, path: str = None) -> "DuplexParams":
-        """Load the calibrated parameter set (falls back to defaults)."""
+        """Load the calibrated parameter set (falls back to defaults).
+
+        Returns a shared per-path instance so every landscape reuses one
+        set of device-resident energy tables (see `energy_model`).
+        """
+        import os
+
+        if path in cls._calibrated_cache:
+            return cls._calibrated_cache[path]
+        params = cls._load_calibrated(path)
+        cls._calibrated_cache[path] = params
+        return params
+
+    @classmethod
+    def _load_calibrated(cls, path: str = None) -> "DuplexParams":
         import os
 
         if path is None:
@@ -260,7 +276,19 @@ class DuplexParams:
         return bulge_seq, bulge_tgt
 
     def energy_model(self) -> dict:
-        """Traced-table pytree consumed by `_duplex_dp`."""
+        """Traced-table pytree consumed by `_duplex_dp`.
+
+        Cached per instance: rebuilding fresh device arrays per call costs
+        ~40 ms each through the remote relay (treat the params as frozen
+        after construction — calibration builds its own pytrees).
+        """
+        cached = getattr(self, "_em_cache", None)
+        if cached is not None:
+            return cached
+        self._em_cache = self._build_energy_model()
+        return self._em_cache
+
+    def _build_energy_model(self) -> dict:
         bulge_seq, bulge_tgt = self.bulge_cost_vectors()
         return {
             "stack": jnp.asarray(self.stack),
