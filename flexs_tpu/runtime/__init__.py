@@ -12,6 +12,10 @@ from flexs_tpu.runtime.dqn_runner import (  # noqa: F401
     DeviceDQNNAM,
     run_dqn_nam,
 )
+from flexs_tpu.runtime.dyna_ppo_runner import (  # noqa: F401
+    DeviceDynaPPONAM,
+    run_dyna_ppo_nam,
+)
 from flexs_tpu.runtime.ga_runner import (  # noqa: F401
     DeviceGeneticAlgorithmNAM,
     run_ga_nam,

@@ -29,6 +29,7 @@ REFERENCE = {
     "device-cbas": (0.555, 0.693),
     "device-dbas": (0.679, 0.770),
     "device-ppo": (0.934, 0.972),
+    "device-dynappo": (0.934, 0.972),
 }
 
 
@@ -133,6 +134,20 @@ def main():
                 sequences_batch_size=common["sequences_batch_size"],
                 model_queries_per_batch=common["model_queries_per_batch"],
                 starting_sequence=start,
+                model="perfect",
+                seed=0,
+            )
+        if name == "device-dynappo":
+            from flexs_tpu.runtime import DeviceDynaPPONAM
+
+            return DeviceDynaPPONAM(
+                landscape,
+                flexs.AAS,
+                rounds=common["rounds"],
+                sequences_batch_size=common["sequences_batch_size"],
+                model_queries_per_batch=common["model_queries_per_batch"],
+                starting_sequence=start,
+                env_batch_size=16,
                 model="perfect",
                 seed=0,
             )
