@@ -153,6 +153,12 @@ def _cell_runner(algorithm: str, algorithm_kwargs: tuple):
         kwargs.setdefault("batch", 64)
         kwargs.setdefault("mu", 1.0)
         return lambda f, p, s, cfg, ss, k: fn(f, p, s, cfg, ss, k, **kwargs)
+    if algorithm == "bo":
+        from flexs_tpu.runtime.bo_runner import run_bo_nam as fn
+
+        kwargs.setdefault("num_chains", 10)
+        kwargs.setdefault("method", "EI")
+        return lambda f, p, s, cfg, ss, k: fn(f, p, s, cfg, ss, k, **kwargs)
     if algorithm == "dqn":
         from flexs_tpu.runtime.dqn_runner import run_dqn_nam as fn
 
@@ -216,8 +222,8 @@ def run_landscape_robustness_sweep(
     cell axis and the fused runner is vmapped over them.
 
     `algorithm` selects the fused explorer family ("adalead", "random",
-    "ga", "cmaes", "dqn"); `algorithm_kwargs` are its static
-    hyperparameters.
+    "ga", "cmaes", "bo", "dqn", "ppo", "dynappo", "cbas", "dbas");
+    `algorithm_kwargs` are its static hyperparameters.
     """
     alpha: Alphabet = as_alphabet(alphabet)
     fns_params = [land.device_fitness() for land in landscapes]

@@ -1,4 +1,8 @@
 """On-device runtime: fully-jitted run loops and sharded sweep engines."""
+from flexs_tpu.runtime.bo_runner import (  # noqa: F401
+    DeviceBONAM,
+    run_bo_nam,
+)
 from flexs_tpu.runtime.cbas_runner import (  # noqa: F401
     DeviceCbASNAM,
     VAEConfig,
