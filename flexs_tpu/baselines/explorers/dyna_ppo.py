@@ -49,6 +49,41 @@ from flexs_tpu.rl.ppo import PPOAgent
 from flexs_tpu.utils import sequence_utils as s_utils
 
 
+def tpu_native_default_models(seq_len: int, alphabet: str) -> List[Model]:
+    """The 11 default ensemble members with device-side equivalents.
+
+    Eight of the reference's eleven members (dyna_ppo.py:51-85) train and
+    predict entirely on device here: the three Flax nets plus exact JAX
+    re-implementations of linear regression, k-NN, Lasso, BayesianRidge,
+    and the Gaussian process (see jax_linear.py / jax_gp.py for the
+    sklearn-parity contracts).  The three tree ensembles (random forest,
+    gradient boosting, extra trees) stay sklearn on the host — recursive
+    axis-aligned splits are a poor fit for the MXU and train in
+    milliseconds at FLEXS measured-set sizes.
+    """
+    return [
+        baselines.models.GlobalEpistasisModel(seq_len, 100, alphabet),
+        baselines.models.MLP(seq_len, 200, alphabet),
+        baselines.models.CNN(seq_len, 32, 100, alphabet),
+        baselines.models.JaxRidgeRegression(
+            alphabet, alpha=0.0, name="linear_regression"
+        ),
+        baselines.models.RandomForest(alphabet),
+        baselines.models.JaxKNNRegressor(alphabet),
+        baselines.models.JaxLasso(alphabet),
+        baselines.models.JaxBayesianRidge(alphabet),
+        baselines.models.JaxGaussianProcessRegressor(alphabet),
+        baselines.models.SklearnRegressor(
+            sklearn.ensemble.GradientBoostingRegressor(),
+            alphabet,
+            "gradient_boosting",
+        ),
+        baselines.models.SklearnRegressor(
+            sklearn.tree.ExtraTreeRegressor(), alphabet, "extra_trees"
+        ),
+    ]
+
+
 class DynaPPOEnsemble(Model):
     """Ensemble gated at predict time by holdout r^2 >= threshold."""
 
@@ -59,10 +94,18 @@ class DynaPPOEnsemble(Model):
         r_squared_threshold: float = 0.5,
         models: Optional[List[Model]] = None,
         seed: int = 0,
+        tpu_native_members: bool = False,
     ):
-        """Create the ensemble (the reference's 11 default members)."""
+        """Create the ensemble (the reference's 11 default members).
+
+        `tpu_native_members=True` swaps the sklearn kernel/linear members
+        for their device-side JAX equivalents (tpu_native_default_models);
+        the default stays byte-faithful to the reference's sklearn stack.
+        """
         super().__init__(name="DynaPPOEnsemble")
 
+        if models is None and tpu_native_members:
+            models = tpu_native_default_models(seq_len, alphabet)
         if models is None:
             models = [
                 baselines.models.GlobalEpistasisModel(seq_len, 100, alphabet),

@@ -8,7 +8,15 @@ from flexs_tpu.baselines.models.flax_model import FlaxModel  # noqa: F401
 from flexs_tpu.baselines.models.global_epistasis_model import (  # noqa: F401
     GlobalEpistasisModel,
 )
-from flexs_tpu.baselines.models.jax_linear import JaxRidgeRegression  # noqa: F401
+from flexs_tpu.baselines.models.jax_gp import (  # noqa: F401
+    JaxGaussianProcessRegressor,
+    JaxKNNRegressor,
+)
+from flexs_tpu.baselines.models.jax_linear import (  # noqa: F401
+    JaxBayesianRidge,
+    JaxLasso,
+    JaxRidgeRegression,
+)
 from flexs_tpu.baselines.models.mlp import MLP  # noqa: F401
 from flexs_tpu.baselines.models.noisy_abstract_model import (  # noqa: F401
     NoisyAbstractModel,
