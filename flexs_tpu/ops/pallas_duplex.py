@@ -62,6 +62,7 @@ def _duplex_kernel(
     """
     g = pl.program_id(0)
     l2p = buf.shape[3]
+    sublanes = buf.shape[2]
     maxloop = d - 2
 
     win_c[...] = jnp.full(win_c.shape, _INF, jnp.float32)
@@ -69,7 +70,7 @@ def _duplex_kernel(
     win_cw[...] = jnp.full(win_cw.shape, _INF, jnp.float32)
     best[...] = jnp.full(best.shape, _INF, jnp.float32)
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, l2p), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sublanes, l2p), 1)
 
     def shift_right(rows, k):
         # rows [S, L2p] shifted right by k lanes; vacated lanes -> +inf.
@@ -153,21 +154,22 @@ def _duplex_kernel(
     jax.lax.fori_loop(0, l1, body, 0)
 
     result = jnp.where(best[...] >= _INF / 2, 0.0, best[...])
-    out_ref[0] = jnp.broadcast_to(result, (SUBLANES, 128))
+    out_ref[0] = jnp.broadcast_to(result, (sublanes, 128))
 
 
-@partial(jax.jit, static_argnames=("maxloop", "interpret"))
-def _pallas_duplex_batch(seq_tokens, target_rev, em, maxloop: int, interpret: bool):
+@partial(jax.jit, static_argnames=("maxloop", "interpret", "group"))
+def _pallas_duplex_batch(seq_tokens, target_rev, em, maxloop: int,
+                         interpret: bool, group: int = SUBLANES):
     d = maxloop + 2
     b, l1 = seq_tokens.shape
     l2 = target_rev.shape[0]
     l2p = ((l2 + 127) // 128) * 128
 
     # Pad the batch to a multiple of the per-program sublane group.
-    bp = ((b + SUBLANES - 1) // SUBLANES) * SUBLANES
+    bp = ((b + group - 1) // group) * group
     if bp != b:
         seq_tokens = jnp.pad(seq_tokens, [(0, bp - b), (0, 0)])
-    groups = bp // SUBLANES
+    groups = bp // group
 
     slabs = rd.build_slabs(seq_tokens, target_rev, em)  # [B, L1, 9, L2]
     # Pad lanes: +inf for path terms so padded lanes admit no duplex.
@@ -185,7 +187,7 @@ def _pallas_duplex_batch(seq_tokens, target_rev, em, maxloop: int, interpret: bo
     )
     # [B, L1, 9, L2p] -> [G, L1, 9, S, L2p]: program g owns sequences
     # g*S .. g*S+S-1 as sublanes.
-    slabs = slabs.reshape(groups, SUBLANES, l1, _N_SLABS, l2p).transpose(
+    slabs = slabs.reshape(groups, group, l1, _N_SLABS, l2p).transpose(
         0, 2, 3, 1, 4
     )
 
@@ -200,14 +202,14 @@ def _pallas_duplex_batch(seq_tokens, target_rev, em, maxloop: int, interpret: bo
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, SUBLANES, 128), lambda g: (g, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((groups, SUBLANES, 128), jnp.float32),
+        out_specs=pl.BlockSpec((1, group, 128), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((groups, group, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, _N_SLABS, SUBLANES, l2p), jnp.float32),
-            pltpu.VMEM((d - 1, SUBLANES, l2p), jnp.float32),
-            pltpu.VMEM((d - 1, SUBLANES, l2p), jnp.float32),
-            pltpu.VMEM((d - 1, SUBLANES, l2p), jnp.float32),
-            pltpu.VMEM((SUBLANES, 1), jnp.float32),
+            pltpu.VMEM((2, _N_SLABS, group, l2p), jnp.float32),
+            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
+            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
+            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
+            pltpu.VMEM((group, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

@@ -60,8 +60,10 @@ def main():
     def slab_path(tokens):
         return rd.duplex_energy_from_slabs(tokens, target_rev, em, params.maxloop)
 
-    def pallas_path(tokens):
-        return _pallas_duplex_batch(tokens, target_rev, em, params.maxloop, False)
+    def pallas_path(tokens, group=64):
+        return _pallas_duplex_batch(
+            tokens, target_rev, em, params.maxloop, False, group
+        )
 
     # Slab precompute alone, reduced to a scalar so the host fetch is tiny.
     @jax.jit
@@ -80,12 +82,16 @@ def main():
                 f" | slab-xla {t_s*1e3:8.2f} ms ({B/t_s:9.0f} seq/s)"
             )
             if jax.default_backend() == "tpu":
-                t_pal = bench(pallas_path, tokens)
                 t_pre = bench(slabs_only, tokens)
-                row += (
-                    f" | pallas {t_pal*1e3:8.2f} ms ({B/t_pal:9.0f} seq/s)"
-                    f" [precompute {t_pre*1e3:.2f} ms]"
-                )
+                row += f" [slab build {t_pre*1e3:.2f} ms]"
+                for grp in (64, 128, 256):
+                    if grp > B:
+                        continue
+                    t_pal = bench(lambda t: pallas_path(t, grp), tokens)
+                    row += (
+                        f" | pallas/g{grp} {t_pal*1e3:8.2f} ms"
+                        f" ({B/t_pal:9.0f} seq/s)"
+                    )
             print(row, flush=True)
 
 
