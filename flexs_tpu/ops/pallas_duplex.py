@@ -1,27 +1,29 @@
 """Pallas TPU kernel for the RNA duplex DP (the benchmark's hottest oracle).
 
 The XLA path (flexs_tpu/ops/rna_duplex.py) expresses the recursion as a
-`lax.scan` whose body materializes a [D-2, D-2, L2] rolled tensor per row.
-This kernel keeps the entire rolling DP window in VMEM and walks the rows
-with on-chip shifts — no HBM round trip inside the recursion at all.
+`lax.scan` over pre-expanded per-cell energy slabs.  Profiling on the TPU
+(scripts/profile_duplex.py) showed that at L100 the slab EXPANSION — the
+one-hot matmuls materializing f32[B, L1, 9, L2] in HBM — costs ~9x the DP
+itself, so v3 moves the expansion INSIDE the kernel:
 
-Design (v2 — replaces the round-1 kernel whose grid was (groups, L1) and
-which paid a fixed per-grid-step cost ~0.2-0.4 ms on this toolchain, see
-CLAUDE.md "per-dispatch costs"):
-
-  * grid = (batch_groups,): ONE grid step per 64 sequences; the row loop
-    lives inside the kernel as a `fori_loop`;
-  * all sequence-dependent energies (pair opens/closes, stack transitions,
-    1-bulge stack-throughs, the joint 1x1 table, interior mismatches) are
-    gathered OUTSIDE the kernel by plain XLA ops into one packed slab
-    [groups, L1, 9, SUBLANES, L2p] that stays in HBM (memory_space=ANY);
-  * each row's [9, SUBLANES, L2p] slab is DMA'd into a double-buffered
-    VMEM scratch, overlapping the copy of row i+1 with the compute of
-    row i, so the kernel body is pure min-plus arithmetic on lane-aligned
-    tiles;
-  * the three [D-1, SUBLANES, L2p] window channels (raw, +interior
-    mismatch, +bulge-AU) live in VMEM scratch across rows;
-  * the scalar size-cost tables sit in SMEM.
+  * grid = (batch_groups,): one program per `group` sequences (default 64
+    sublanes); the row loop is a `fori_loop` in the kernel;
+  * per DP row the kernel DMAs a tiny f32[S, 128] RECORD (the row's
+    trigram/bigram one-hots plus its two boundary-column patches) instead
+    of a [9, S, L2p] slab — 14x less HBM traffic;
+  * the 9 per-cell energy channels are produced by ONE MXU matmul
+    [S, 128] @ [128, 9*L2p] against gram-pair tables pre-contracted over
+    the fixed target (rows 0:64 = seq-trigram x target-gram energies,
+    rows 64:80 = forward-bigram terms, rows 80:128 = zeros so the patch
+    lanes contribute nothing).  One-hot selection by matmul is EXACT in
+    f32 (each output is one table value plus zeros; the +inf sentinel is
+    the finite rd._INF), so v3 is bit-identical to the XLA slab path;
+  * duplex-end boundary patches (reference rna.py duplexfold end terms;
+    see rd.build_slabs' patch block) are applied in-kernel: full-row
+    patches at i=0 / i=L1-1 from VMEM-resident [S, L2p] inputs, lane-0 /
+    lane-(L2-1) patches from the record's two patch lanes;
+  * the three [D-1, S, L2p] DP window channels live in VMEM scratch
+    across rows; scalar size-cost tables sit in SMEM.
 
 `duplex_energy_batch_pallas` matches `rna_duplex.duplex_energy_batch`
 numerically (tests/test_pallas_duplex.py); `interpret=True` is selected
@@ -38,31 +40,34 @@ from flexs_tpu.ops import rna_duplex as rd
 
 _INF = rd._INF
 
-# Slab channel indices in the packed per-row tensor.
+# Channel indices in DP order (shared with rna_duplex's slab layout).
 _OPEN, _STACK, _B1S, _B1T, _I11, _MB, _MA, _AU, _CLOSE = range(9)
 _N_SLABS = 9
 
 SUBLANES = 64  # sequences per program instance (8 VPU sublane tiles deep)
+_REC = 128  # record lanes: 64 trigram one-hot, 16 bigram, 2 patches, pad
 
-
-# Per-cell slabs come from the trigram-factored one-hot-matmul builder in
-# rna_duplex (shared channel order); see rd.build_slabs.
+# Per-channel pad value for lanes beyond L2: path terms admit no duplex
+# (+inf); additive decoration terms contribute zero.
+_PAD_VALS = (_INF, _INF, _INF, _INF, _INF, 0.0, 0.0, 0.0, 0.0)
 
 
 def _duplex_kernel(
-    slabs_hbm, icost_ref, bseq_ref, btgt_ref, out_ref,
-    buf, win_c, win_ca, win_cw, best, sem, *, d, l1
+    recs_hbm, tbl_ref, row0_ref, rowl_ref, icost_ref, bseq_ref, btgt_ref,
+    out_ref, buf, win_c, win_ca, win_cw, best, sem, *, d, l1, l2
 ):
-    """One program per 64-sequence group; rows walked by a fori_loop.
+    """One program per sublane group; rows walked by a fori_loop.
 
-    slabs_hbm: ANY-space f32[G, L1, 9, S, L2p] — row slabs DMA'd in.
+    recs_hbm: ANY-space f32[G, L1, S, 128] row records, DMA'd in.
+    tbl_ref: VMEM f32[128, 9*L2p] target-contracted gram-pair tables.
+    row0/rowl: VMEM f32[1, S, L2p] full-row OPEN/CLOSE boundary patches.
     icost/bseq/btgt: SMEM size-cost tables (interior [d, d], bulges).
-    Scratch: buf f32[2, 9, S, L2p] double buffer, three window channels
-    f32[d-1, S, L2p], best f32[S, 1], sem: 2 DMA semaphores.
+    Scratch: buf f32[2, S, 128] record double buffer, three window
+    channels f32[d-1, S, L2p], best f32[S, 1], sem: 2 DMA semaphores.
     """
     g = pl.program_id(0)
-    l2p = buf.shape[3]
-    sublanes = buf.shape[2]
+    sublanes = win_c.shape[1]
+    l2p = win_c.shape[2]
     maxloop = d - 2
 
     win_c[...] = jnp.full(win_c.shape, _INF, jnp.float32)
@@ -79,7 +84,7 @@ def _duplex_kernel(
 
     def row_dma(slot, i):
         return pltpu.make_async_copy(
-            slabs_hbm.at[g, i], buf.at[slot], sem.at[slot]
+            recs_hbm.at[g, i], buf.at[slot], sem.at[slot]
         )
 
     row_dma(0, 0).start()
@@ -102,11 +107,31 @@ def _duplex_kernel(
 
         row_dma(slot, i).wait()
 
-        open_e = buf[slot, _OPEN]
-        acc = jnp.minimum(open_e, shift_right(win_c[0], 1) + buf[slot, _STACK])
-        acc = jnp.minimum(acc, shift_right(win_c[1], 1) + buf[slot, _B1S])
-        acc = jnp.minimum(acc, shift_right(win_c[0], 2) + buf[slot, _B1T])
-        acc = jnp.minimum(acc, shift_right(win_c[1], 2) + buf[slot, _I11])
+        rec = buf[slot]  # [S, 128]
+        # One MXU matmul expands the row's 9 energy channels (module
+        # docstring: exact one-hot selection, zeros from the patch lanes).
+        all9 = jax.lax.dot_general(
+            rec,
+            tbl_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [S, 9*L2p]
+
+        def chan(c):
+            return all9[:, c * l2p:(c + 1) * l2p]
+
+        open_e = chan(_OPEN)
+        # Duplex-end boundary patches (rd.build_slabs' patch block).
+        open_e = jnp.where(i == 0, row0_ref[0], open_e)
+        open_e = jnp.where(col == 0, rec[:, 80:81], open_e)
+        close_e = chan(_CLOSE)
+        close_e = jnp.where(i == l1 - 1, rowl_ref[0], close_e)
+        close_e = jnp.where(col == l2 - 1, rec[:, 81:82], close_e)
+
+        acc = jnp.minimum(open_e, shift_right(win_c[0], 1) + chan(_STACK))
+        acc = jnp.minimum(acc, shift_right(win_c[1], 1) + chan(_B1S))
+        acc = jnp.minimum(acc, shift_right(win_c[0], 2) + chan(_B1T))
+        acc = jnp.minimum(acc, shift_right(win_c[1], 2) + chan(_I11))
 
         # Generic interior loops: dj-outer, rows reduced sequentially.
         loop_min = None
@@ -121,10 +146,10 @@ def _duplex_kernel(
                 continue
             shifted = shift_right(col_min, dj)
             loop_min = shifted if loop_min is None else jnp.minimum(loop_min, shifted)
-        acc = jnp.minimum(acc, loop_min + buf[slot, _MB])
+        acc = jnp.minimum(acc, loop_min + chan(_MB))
 
         # Bulges of >= 2 unpaired bases.
-        au_e = buf[slot, _AU]
+        au_e = chan(_AU)
         bs_min = None
         for r in range(2, maxloop + 1):
             cand = win_cw[r] + bseq_ref[r]
@@ -140,11 +165,11 @@ def _duplex_kernel(
         acc = jnp.where(open_e >= _INF / 2, _INF, acc)
 
         best[...] = jnp.minimum(
-            best[...], jnp.min(acc + buf[slot, _CLOSE], axis=1, keepdims=True)
+            best[...], jnp.min(acc + close_e, axis=1, keepdims=True)
         )
         win_c[...] = jnp.concatenate([acc[None], win_c[: d - 2]], axis=0)
         win_ca[...] = jnp.concatenate(
-            [(acc + buf[slot, _MA])[None], win_ca[: d - 2]], axis=0
+            [(acc + chan(_MA))[None], win_ca[: d - 2]], axis=0
         )
         win_cw[...] = jnp.concatenate(
             [(acc + au_e)[None], win_cw[: d - 2]], axis=0
@@ -155,6 +180,106 @@ def _duplex_kernel(
 
     result = jnp.where(best[...] >= _INF / 2, 0.0, best[...])
     out_ref[0] = jnp.broadcast_to(result, (sublanes, 128))
+
+
+def _contracted_tables(target_rev, em, l2p):
+    """Target-contracted gram-pair tables f32[128, 9*l2p] + row patches.
+
+    Rows 0:64 hold the 7 seq-trigram channels contracted over the
+    target's trigram at each j; rows 64:80 the 2 forward-bigram channels;
+    rows 80:128 are zero so the record's patch/pad lanes are inert.
+    Lane j >= l2 carries the channel's pad value in its ACTIVE row block
+    only (the other block contributes zero).
+    """
+    l2 = target_rev.shape[0]
+    t_past, t_fut = rd.trigram_tables(em)
+
+    trev_m1 = jnp.roll(target_rev, 1)
+    trev_m2 = jnp.roll(target_rev, 2)
+    trev_p1 = jnp.roll(target_rev, -1)
+    t3g = trev_m2 * 16 + trev_m1 * 4 + target_rev  # [L2]
+    t2g = target_rev * 4 + trev_p1
+
+    tbl = jnp.zeros((_REC, _N_SLABS, l2p), jnp.float32)
+    past_c = t_past[:, :, t3g]  # [7, 64, L2]
+    fut_c = t_fut[:, :, t2g]  # [2, 16, L2]
+    for k, c in enumerate(rd._PAST):
+        row = jnp.full((64, l2p), _PAD_VALS[c], jnp.float32)
+        row = row.at[:, :l2].set(past_c[k])
+        tbl = tbl.at[0:64, c].set(row)
+    for k, c in enumerate(rd._FUT):
+        row = jnp.full((16, l2p), _PAD_VALS[c], jnp.float32)
+        row = row.at[:, :l2].set(fut_c[k])
+        tbl = tbl.at[64:80, c].set(row)
+    return tbl.reshape(_REC, _N_SLABS * l2p)
+
+
+def _records_and_patches(seq_tokens, target_rev, em, l2p):
+    """Row records f32[B, L1, 128] + full-row boundary patches.
+
+    Record lanes: 0:64 one-hot seq trigram, 64:80 one-hot forward bigram,
+    80 = OPEN column-0 patch, 81 = CLOSE column-(L2-1) patch, rest zero.
+    Patch values mirror rd.build_slabs' boundary block exactly.
+    """
+    b, l1 = seq_tokens.shape
+    l2 = target_rev.shape[0]
+    i_idx = jnp.arange(l1)
+    j_idx = jnp.arange(l2)
+
+    s = seq_tokens
+    s_im1 = s[:, jnp.maximum(i_idx - 1, 0)]
+    s_im2 = s[:, jnp.maximum(i_idx - 2, 0)]
+    s_ip1 = s[:, jnp.minimum(i_idx + 1, l1 - 1)]
+    s3g = s_im2 * 16 + s_im1 * 4 + s  # [B, L1]
+    s2g = s * 4 + s_ip1
+
+    pair_tbl = jnp.asarray(rd.PAIR_TABLE)
+    duplex_init = em["consts"][0]
+    none = rd.NONE_BASE
+    trev_m1 = jnp.roll(target_rev, 1)
+    trev_p1 = jnp.roll(target_rev, -1)
+    b3 = jnp.where(j_idx > 0, trev_m1, none)
+    a5 = jnp.where(j_idx < l2 - 1, trev_p1, none)
+    b5 = jnp.where(i_idx > 0, s_im1, none)
+    a3 = jnp.where(i_idx < l1 - 1, s_ip1, none)
+
+    # Column patches (lane 0 / lane l2-1 of every DP row).
+    pt_col0 = pair_tbl[s, target_rev[0]]  # [B, L1]
+    open_col0 = jnp.where(
+        pt_col0 > 0, duplex_init + em["ext5"][pt_col0, b5, none], _INF
+    )
+    pt_coll = pair_tbl[s, target_rev[l2 - 1]]
+    close_coll = em["ext3"][pt_coll, a3, none]
+
+    rec = jnp.concatenate(
+        [
+            jax.nn.one_hot(s3g, 64, dtype=jnp.float32),
+            jax.nn.one_hot(s2g, 16, dtype=jnp.float32),
+            open_col0[..., None],
+            close_coll[..., None],
+            jnp.zeros((b, l1, _REC - 82), jnp.float32),
+        ],
+        axis=2,
+    )  # [B, L1, 128]
+
+    # Full-row patches (DP row 0 OPEN, row l1-1 CLOSE); their lane 0 /
+    # lane l2-1 values equal the corner values, matching build_slabs'
+    # patch order (row, then column, then corner).
+    pt_row0 = pair_tbl[s[:, 0][:, None], target_rev[None, :]]  # [B, L2]
+    open_row0 = jnp.where(
+        pt_row0 > 0,
+        duplex_init + em["ext5"][pt_row0, none, jnp.broadcast_to(b3, (b, l2))],
+        _INF,
+    )
+    open_row0 = open_row0.at[:, 0].set(open_col0[:, 0])
+    open_row0 = jnp.pad(
+        open_row0, [(0, 0), (0, l2p - l2)], constant_values=_INF
+    )
+    pt_rowl = pair_tbl[s[:, l1 - 1][:, None], target_rev[None, :]]
+    close_rowl = em["ext3"][pt_rowl, none, jnp.broadcast_to(a5, (b, l2))]
+    close_rowl = close_rowl.at[:, l2 - 1].set(close_coll[:, l1 - 1])
+    close_rowl = jnp.pad(close_rowl, [(0, 0), (0, l2p - l2)])
+    return rec, open_row0, close_rowl
 
 
 @partial(jax.jit, static_argnames=("maxloop", "interpret", "group"))
@@ -171,33 +296,26 @@ def _pallas_duplex_batch(seq_tokens, target_rev, em, maxloop: int,
         seq_tokens = jnp.pad(seq_tokens, [(0, bp - b), (0, 0)])
     groups = bp // group
 
-    slabs = rd.build_slabs(seq_tokens, target_rev, em)  # [B, L1, 9, L2]
-    # Pad lanes: +inf for path terms so padded lanes admit no duplex.
-    pad_vals = jnp.array(
-        [_INF, _INF, _INF, _INF, _INF, 0.0, 0.0, 0.0, 0.0], jnp.float32
+    tbl = _contracted_tables(target_rev, em, l2p)
+    rec, open_row0, close_rowl = _records_and_patches(
+        seq_tokens, target_rev, em, l2p
     )
-    slabs = jnp.concatenate(
-        [
-            slabs,
-            jnp.broadcast_to(
-                pad_vals[None, None, :, None], (bp, l1, _N_SLABS, l2p - l2)
-            ),
-        ],
-        axis=3,
-    )
-    # [B, L1, 9, L2p] -> [G, L1, 9, S, L2p]: program g owns sequences
-    # g*S .. g*S+S-1 as sublanes.
-    slabs = slabs.reshape(groups, group, l1, _N_SLABS, l2p).transpose(
-        0, 2, 3, 1, 4
-    )
+    # [B, L1, 128] -> [G, L1, S, 128]: program g owns sequences
+    # g*S .. g*S+S-1 as sublanes of each row record.
+    rec = rec.reshape(groups, group, l1, _REC).transpose(0, 2, 1, 3)
+    open_row0 = open_row0.reshape(groups, group, l2p)
+    close_rowl = close_rowl.reshape(groups, group, l2p)
 
     bulge_seq, bulge_tgt = em["bulge_seq"], em["bulge_tgt"]
 
     out = pl.pallas_call(
-        partial(_duplex_kernel, d=d, l1=l1),
+        partial(_duplex_kernel, d=d, l1=l1, l2=l2),
         grid=(groups,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((_REC, _N_SLABS * l2p), lambda g: (0, 0)),
+            pl.BlockSpec((1, group, l2p), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, group, l2p), lambda g: (g, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -205,7 +323,7 @@ def _pallas_duplex_batch(seq_tokens, target_rev, em, maxloop: int,
         out_specs=pl.BlockSpec((1, group, 128), lambda g: (g, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((groups, group, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, _N_SLABS, group, l2p), jnp.float32),
+            pltpu.VMEM((2, group, _REC), jnp.float32),
             pltpu.VMEM((d - 1, group, l2p), jnp.float32),
             pltpu.VMEM((d - 1, group, l2p), jnp.float32),
             pltpu.VMEM((d - 1, group, l2p), jnp.float32),
@@ -213,7 +331,8 @@ def _pallas_duplex_batch(seq_tokens, target_rev, em, maxloop: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(slabs, em["interior_cost"], bulge_seq, bulge_tgt)
+    )(rec, tbl, open_row0, close_rowl, em["interior_cost"], bulge_seq,
+      bulge_tgt)
     return out[:, :, 0].reshape(bp)[:b]
 
 
