@@ -8,9 +8,13 @@ itself, so v3 moves the expansion INSIDE the kernel:
 
   * grid = (batch_groups,): one program per `group` sequences (default 64
     sublanes); the row loop is a `fori_loop` in the kernel;
-  * per DP row the kernel DMAs a tiny f32[S, 128] RECORD (the row's
-    trigram/bigram one-hots plus its two boundary-column patches) instead
-    of a [9, S, L2p] slab — 14x less HBM traffic;
+  * each program receives its group's COMPACT record block
+    f32[L1, S, 4] (per row: seq trigram index, forward-bigram index, and
+    the two boundary-column patch energies) as one auto-blocked VMEM
+    copy — ~900x less HBM traffic than the v2 slabs.  Profiling showed
+    materializing the one-hots in HBM was itself ~70% of a first v3 cut,
+    so the [S, 128] one-hot operand is built per row on the VPU by an
+    iota-compare;
   * the 9 per-cell energy channels are produced by ONE MXU matmul
     [S, 128] @ [128, 9*L2p] against gram-pair tables pre-contracted over
     the fixed target (rows 0:64 = seq-trigram x target-gram energies,
@@ -45,7 +49,7 @@ _OPEN, _STACK, _B1S, _B1T, _I11, _MB, _MA, _AU, _CLOSE = range(9)
 _N_SLABS = 9
 
 SUBLANES = 64  # sequences per program instance (8 VPU sublane tiles deep)
-_REC = 128  # record lanes: 64 trigram one-hot, 16 bigram, 2 patches, pad
+_REC = 128  # one-hot operand lanes: 64 trigram, 16 bigram, 48 zero-pad
 
 # Per-channel pad value for lanes beyond L2: path terms admit no duplex
 # (+inf); additive decoration terms contribute zero.
@@ -53,19 +57,20 @@ _PAD_VALS = (_INF, _INF, _INF, _INF, _INF, 0.0, 0.0, 0.0, 0.0)
 
 
 def _duplex_kernel(
-    recs_hbm, tbl_ref, row0_ref, rowl_ref, icost_ref, bseq_ref, btgt_ref,
-    out_ref, buf, win_c, win_ca, win_cw, best, sem, *, d, l1, l2
+    recs_ref, tbl_ref, row0_ref, rowl_ref, icost_ref, bseq_ref, btgt_ref,
+    out_ref, win_c, win_ca, win_cw, best, *, d, l1, l2
 ):
     """One program per sublane group; rows walked by a fori_loop.
 
-    recs_hbm: ANY-space f32[G, L1, S, 128] row records, DMA'd in.
+    recs_ref: VMEM f32[1, L1, S, 4] — the whole group's compact row
+    records (trigram index, bigram index, two boundary patches) arrive
+    as ONE auto-blocked copy; the one-hot operands are expanded on the
+    VPU per row.
     tbl_ref: VMEM f32[128, 9*L2p] target-contracted gram-pair tables.
     row0/rowl: VMEM f32[1, S, L2p] full-row OPEN/CLOSE boundary patches.
     icost/bseq/btgt: SMEM size-cost tables (interior [d, d], bulges).
-    Scratch: buf f32[2, S, 128] record double buffer, three window
-    channels f32[d-1, S, L2p], best f32[S, 1], sem: 2 DMA semaphores.
+    Scratch: three window channels f32[d-1, S, L2p], best f32[S, 1].
     """
-    g = pl.program_id(0)
     sublanes = win_c.shape[1]
     l2p = win_c.shape[2]
     maxloop = d - 2
@@ -82,13 +87,6 @@ def _duplex_kernel(
         rolled = pltpu.roll(rows, k, axis=1)
         return jnp.where(col < k, _INF, rolled)
 
-    def row_dma(slot, i):
-        return pltpu.make_async_copy(
-            recs_hbm.at[g, i], buf.at[slot], sem.at[slot]
-        )
-
-    row_dma(0, 0).start()
-
     # Statically valid generic-interior combos: window row r holds DP row
     # i-1-r => di = r+1; n1 = di-1, n2 = dj-1; skip the 1x1 (joint table).
     interior_combos = [
@@ -98,20 +96,24 @@ def _duplex_kernel(
         if (r + dj - 1) <= maxloop and not (r == 1 and dj == 2)
     ]
 
+    rec_col = jax.lax.broadcasted_iota(jnp.int32, (sublanes, _REC), 1)
+
     def body(i, _):
-        slot = jax.lax.rem(i, 2)
-
-        @pl.when(i + 1 < l1)
-        def _():
-            row_dma(1 - slot, i + 1).start()
-
-        row_dma(slot, i).wait()
-
-        rec = buf[slot]  # [S, 128]
+        rec = recs_ref[0, i]  # [S, 4]: s3g, s2g, col0 patch, coll patch
+        # Expand the compact index record into the [S, 128] one-hot
+        # matmul operand on the VPU (a compare against the lane iota);
+        # materializing these one-hots in HBM was ~70% of v3's runtime.
+        idx3 = rec[:, 0:1]
+        idx2 = rec[:, 1:2]
+        m3 = (rec_col < 64) & (rec_col.astype(jnp.float32) == idx3)
+        m2 = (rec_col >= 64) & (rec_col < 80) & (
+            (rec_col - 64).astype(jnp.float32) == idx2
+        )
+        operand = jnp.where(m3 | m2, 1.0, 0.0)
         # One MXU matmul expands the row's 9 energy channels (module
-        # docstring: exact one-hot selection, zeros from the patch lanes).
+        # docstring: exact one-hot selection).
         all9 = jax.lax.dot_general(
-            rec,
+            operand,
             tbl_ref[...],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -123,10 +125,10 @@ def _duplex_kernel(
         open_e = chan(_OPEN)
         # Duplex-end boundary patches (rd.build_slabs' patch block).
         open_e = jnp.where(i == 0, row0_ref[0], open_e)
-        open_e = jnp.where(col == 0, rec[:, 80:81], open_e)
+        open_e = jnp.where(col == 0, rec[:, 2:3], open_e)
         close_e = chan(_CLOSE)
         close_e = jnp.where(i == l1 - 1, rowl_ref[0], close_e)
-        close_e = jnp.where(col == l2 - 1, rec[:, 81:82], close_e)
+        close_e = jnp.where(col == l2 - 1, rec[:, 3:4], close_e)
 
         acc = jnp.minimum(open_e, shift_right(win_c[0], 1) + chan(_STACK))
         acc = jnp.minimum(acc, shift_right(win_c[1], 1) + chan(_B1S))
@@ -251,16 +253,15 @@ def _records_and_patches(seq_tokens, target_rev, em, l2p):
     pt_coll = pair_tbl[s, target_rev[l2 - 1]]
     close_coll = em["ext3"][pt_coll, a3, none]
 
-    rec = jnp.concatenate(
+    rec = jnp.stack(
         [
-            jax.nn.one_hot(s3g, 64, dtype=jnp.float32),
-            jax.nn.one_hot(s2g, 16, dtype=jnp.float32),
-            open_col0[..., None],
-            close_coll[..., None],
-            jnp.zeros((b, l1, _REC - 82), jnp.float32),
+            s3g.astype(jnp.float32),
+            s2g.astype(jnp.float32),
+            open_col0,
+            close_coll,
         ],
         axis=2,
-    )  # [B, L1, 128]
+    )  # [B, L1, 4] compact index/patch record (one-hot built in-kernel)
 
     # Full-row patches (DP row 0 OPEN, row l1-1 CLOSE); their lane 0 /
     # lane l2-1 values equal the corner values, matching build_slabs'
@@ -300,9 +301,9 @@ def _pallas_duplex_batch(seq_tokens, target_rev, em, maxloop: int,
     rec, open_row0, close_rowl = _records_and_patches(
         seq_tokens, target_rev, em, l2p
     )
-    # [B, L1, 128] -> [G, L1, S, 128]: program g owns sequences
+    # [B, L1, 4] -> [G, L1, S, 4]: program g owns sequences
     # g*S .. g*S+S-1 as sublanes of each row record.
-    rec = rec.reshape(groups, group, l1, _REC).transpose(0, 2, 1, 3)
+    rec = rec.reshape(groups, group, l1, 4).transpose(0, 2, 1, 3)
     open_row0 = open_row0.reshape(groups, group, l2p)
     close_rowl = close_rowl.reshape(groups, group, l2p)
 
@@ -312,7 +313,7 @@ def _pallas_duplex_batch(seq_tokens, target_rev, em, maxloop: int,
         partial(_duplex_kernel, d=d, l1=l1, l2=l2),
         grid=(groups,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, l1, group, 4), lambda g: (g, 0, 0, 0)),
             pl.BlockSpec((_REC, _N_SLABS * l2p), lambda g: (0, 0)),
             pl.BlockSpec((1, group, l2p), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, group, l2p), lambda g: (g, 0, 0)),
@@ -323,12 +324,10 @@ def _pallas_duplex_batch(seq_tokens, target_rev, em, maxloop: int,
         out_specs=pl.BlockSpec((1, group, 128), lambda g: (g, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((groups, group, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, group, _REC), jnp.float32),
             pltpu.VMEM((d - 1, group, l2p), jnp.float32),
             pltpu.VMEM((d - 1, group, l2p), jnp.float32),
             pltpu.VMEM((d - 1, group, l2p), jnp.float32),
             pltpu.VMEM((group, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(rec, tbl, open_row0, close_rowl, em["interior_cost"], bulge_seq,
