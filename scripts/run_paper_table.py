@@ -26,6 +26,7 @@ REFERENCE = {
     "dbas": (0.679, 0.770),
     "dynappo": (0.934, 0.972),
     # Fused device runners, judged against the same reference rows.
+    "device-bo": (0.996, 0.999),
     "device-cbas": (0.555, 0.693),
     "device-dbas": (0.679, 0.770),
     "device-ppo": (0.934, 0.972),
@@ -121,6 +122,19 @@ def main():
                 model_queries_per_batch=common["model_queries_per_batch"],
                 starting_sequence=start,
                 algo=name.split("-")[1],
+                model="perfect",
+                seed=0,
+            )
+        if name == "device-bo":
+            from flexs_tpu.runtime import DeviceBONAM
+
+            return DeviceBONAM(
+                landscape,
+                flexs.AAS,
+                rounds=common["rounds"],
+                sequences_batch_size=common["sequences_batch_size"],
+                model_queries_per_batch=common["model_queries_per_batch"],
+                starting_sequence=start,
                 model="perfect",
                 seed=0,
             )
