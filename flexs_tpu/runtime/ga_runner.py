@@ -104,20 +104,22 @@ def run_ga_nam(
         cached = min_dist == 0
 
         signal = fitness_fn(fitness_params, tokens)
-        neighbor_truth = cache_truth[nearest]
-
-        key, k_exp, k_choice = jax.random.split(key, 3)
-        expo = jax.random.exponential(k_exp, (tokens.shape[0],))
-        rand_idx = jax.random.randint(
-            k_choice, (tokens.shape[0],), 0, jnp.maximum(n_cache, 1)
-        )
-        noise = jnp.where(
-            neighbor_truth >= 0, expo * neighbor_truth, cache_vals[rand_idx]
-        )
-        alpha = jnp.power(ss, min_dist)
-        values = jnp.where(
-            cached, cache_vals[nearest], alpha * signal + (1 - alpha) * noise
-        )
+        if cfg.perfect_model:
+            values = jnp.where(cached, cache_vals[nearest], signal)
+        else:
+            neighbor_truth = cache_truth[nearest]
+            key, k_exp, k_choice = jax.random.split(key, 3)
+            expo = jax.random.exponential(k_exp, (tokens.shape[0],))
+            rand_idx = jax.random.randint(
+                k_choice, (tokens.shape[0],), 0, jnp.maximum(n_cache, 1)
+            )
+            noise = jnp.where(
+                neighbor_truth >= 0, expo * neighbor_truth, cache_vals[rand_idx]
+            )
+            alpha = jnp.power(ss, min_dist)
+            values = jnp.where(
+                cached, cache_vals[nearest], alpha * signal + (1 - alpha) * noise
+            )
 
         insert = mask & ~cached
         cache_tokens, pos, n_cache, (cache_pk, cache_vals, cache_truth) = (
@@ -131,7 +133,8 @@ def run_ga_nam(
             )
         )
         model_cost = model_cost + jnp.sum(mask)
-        landscape_cost = landscape_cost + 2 * jnp.sum(insert)
+        if not cfg.perfect_model:
+            landscape_cost = landscape_cost + 2 * jnp.sum(insert)
         return (
             (cache_tokens, cache_pk, cache_vals, cache_truth, n_cache),
             (model_cost, landscape_cost),
@@ -320,13 +323,17 @@ class DeviceGeneticAlgorithmNAM:
         parent_selection_proportion: Optional[float] = 0.3,
         beta: float = 0.05,
         signal_strength: float = 0.9,
+        model: str = "nam",
         seed: int = 0,
     ):
         """Create the fused GA runner for `landscape`."""
+        if model not in ("nam", "perfect"):
+            raise ValueError("model must be 'nam' or 'perfect'")
         self.landscape = landscape
         self.alphabet: Alphabet = as_alphabet(alphabet)
         self.starting_sequence = starting_sequence
-        self.signal_strength = signal_strength
+        self.model = model
+        self.signal_strength = 1.0 if model == "perfect" else signal_strength
         self.seed = seed
         self.name = (
             f"DeviceGeneticAlgorithm_pop_size={population_size}_"
@@ -342,6 +349,7 @@ class DeviceGeneticAlgorithmNAM:
             sequences_batch_size=sequences_batch_size,
             model_queries_per_batch=model_queries_per_batch,
             alphabet_size=len(self.alphabet),
+            perfect_model=(model == "perfect"),
         )
         self._fitness_fn, self._fitness_params = landscape.device_fitness()
 
@@ -391,7 +399,11 @@ class DeviceGeneticAlgorithmNAM:
 
         metadata = {
             "exp_name": self.name,
-            "model_name": f"NAMb_ss{self.signal_strength}",
+            "model_name": (
+                f"LandscapeAsModel={self.landscape.name}"
+                if self.model == "perfect"
+                else f"NAMb_ss{self.signal_strength}"
+            ),
             "landscape_name": self.landscape.name,
             "rounds": self.cfg.rounds,
             "sequences_batch_size": self.cfg.sequences_batch_size,

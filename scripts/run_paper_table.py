@@ -26,6 +26,11 @@ REFERENCE = {
     "dbas": (0.679, 0.770),
     "dynappo": (0.934, 0.972),
     # Fused device runners, judged against the same reference rows.
+    "device-random": (0.417, 0.638),
+    "device-adalead": (0.981, 0.996),
+    "device-ga": (1.000, 1.000),
+    "device-cmaes": (0.887, 0.951),
+    "device-dqn": (0.934, 0.972),  # judged vs the DynaPPO RL row
     "device-bo": (0.996, 0.999),
     "device-cbas": (0.555, 0.693),
     "device-dbas": (0.679, 0.770),
@@ -124,6 +129,31 @@ def main():
                 algo=name.split("-")[1],
                 model="perfect",
                 seed=0,
+            )
+        if name in ("device-random", "device-adalead", "device-ga",
+                    "device-cmaes", "device-dqn"):
+            from flexs_tpu import runtime as rt
+
+            cls = {
+                "device-random": rt.DeviceRandomNAM,
+                "device-adalead": rt.DeviceAdaleadNAM,
+                "device-ga": rt.DeviceGeneticAlgorithmNAM,
+                "device-cmaes": rt.DeviceCMAESNAM,
+                "device-dqn": rt.DeviceDQNNAM,
+            }[name]
+            kw = {}
+            if name == "device-cmaes":
+                kw["maximize"] = True
+            return cls(
+                landscape,
+                flexs.AAS,
+                rounds=common["rounds"],
+                sequences_batch_size=common["sequences_batch_size"],
+                model_queries_per_batch=common["model_queries_per_batch"],
+                starting_sequence=start,
+                model="perfect",
+                seed=0,
+                **kw,
             )
         if name == "device-bo":
             from flexs_tpu.runtime import DeviceBONAM
