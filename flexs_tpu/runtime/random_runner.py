@@ -23,7 +23,7 @@ from flexs_tpu.runtime import jit_runner
 from flexs_tpu.runtime.jit_runner import RunResult, device_run_args, fetch_run_result, _dists_to_cache, _masked_append
 
 
-@partial(jax.jit, static_argnames=("cfg", "fitness_fn", "batch", "mu"))
+@partial(jax.jit, static_argnames=("cfg", "fitness_fn", "batch", "mu", "elitist"))
 def run_random_nam(
     fitness_fn,
     fitness_params,
@@ -33,8 +33,14 @@ def run_random_nam(
     key,
     batch: int = 64,
     mu: float = 1.0,
+    elitist: bool = True,
 ):
-    """Run a full Random-explorer + NAM experiment on device."""
+    """Run a full Random-explorer + NAM experiment on device.
+
+    `elitist=True` proposes the top `sequences_batch_size` of the
+    generated pool by model score; `elitist=False` proposes a uniform
+    random subset (the reference Random's default, random.py:83-88).
+    """
     B = cfg.sequences_batch_size
     budget = cfg.model_queries_per_batch
     A = cfg.alphabet_size
@@ -202,8 +208,19 @@ def run_random_nam(
         gen_tokens, gen_preds, gen_cache_pos, n_gen = gen_state
         model_cost, landscape_cost = costs
 
-        masked_preds = jnp.where(jnp.arange(gen_cap) < n_gen, gen_preds, -jnp.inf)
-        top_vals, top_idx = jax.lax.top_k(masked_preds, B)
+        in_pool = jnp.arange(gen_cap) < n_gen
+        if elitist:
+            rank_by = jnp.where(in_pool, gen_preds, -jnp.inf)
+        else:
+            key, k_sub = jax.random.split(key)
+            # Uniform sample without replacement: top-k of random keys.
+            rank_by = jnp.where(
+                in_pool, jax.random.uniform(k_sub, (gen_cap,)), -jnp.inf
+            )
+        _, top_idx = jax.lax.top_k(rank_by, B)
+        top_vals = jnp.where(
+            in_pool[top_idx], gen_preds[top_idx], -jnp.inf
+        )
         valid = jnp.isfinite(top_vals)
         proposals = gen_tokens[top_idx]
         truth = jnp.where(valid, fitness_fn(fitness_params, proposals), -jnp.inf)
@@ -262,11 +279,13 @@ class DeviceRandomNAM:
         batch: int = 64,
         signal_strength: float = 0.9,
         model: str = "nam",
+        elitist: bool = True,
         seed: int = 0,
     ):
         """Create the fused Random runner for `landscape`."""
         if model not in ("nam", "perfect"):
             raise ValueError("model must be 'nam' or 'perfect'")
+        self.elitist = elitist
         self.landscape = landscape
         self.alphabet: Alphabet = as_alphabet(alphabet)
         self.starting_sequence = starting_sequence
@@ -305,6 +324,7 @@ class DeviceRandomNAM:
             key,
             self.batch,
             self.mu,
+            self.elitist,
         )
         result = fetch_run_result(result)
         self.landscape.add_cost(int(result.landscape_cost[-1]))

@@ -144,6 +144,8 @@ def main():
             kw = {}
             if name == "device-cmaes":
                 kw["maximize"] = True
+            if name == "device-random":
+                kw["elitist"] = False  # the reference Random default
             return cls(
                 landscape,
                 flexs.AAS,

@@ -84,3 +84,37 @@ def test_fused_random_runner(landscape):
     assert df["sequence"].is_unique
     recomputed = landscape._fitness_function(df["sequence"].tolist())
     np.testing.assert_allclose(df["true_score"].to_numpy(), recomputed, atol=1e-6)
+
+
+def test_fused_random_non_elitist(landscape):
+    from flexs_tpu.runtime import DeviceRandomNAM
+
+    def run(elitist, seed=0):
+        runner = DeviceRandomNAM(
+            landscape,
+            flexs.DNAA,
+            rounds=3,
+            sequences_batch_size=5,
+            model_queries_per_batch=50,
+            starting_sequence=flexs.landscapes.tf_binding.STARTS[0],
+            batch=8,
+            signal_strength=1.0,
+            elitist=elitist,
+            seed=seed,
+        )
+        df, _ = runner.run(verbose=False)
+        return df
+
+    uniform = run(False)
+    assert 0 < len(uniform[uniform["round"] == 1]) <= 5
+    recomputed = landscape._fitness_function(uniform["sequence"].tolist())
+    np.testing.assert_allclose(
+        uniform["true_score"].to_numpy(), recomputed, atol=1e-6
+    )
+    # Elitist proposals dominate uniform ones on model score (ss=1:
+    # model score == truth), given the same generation budget and seed.
+    elitist = run(True)
+    assert (
+        elitist[elitist["round"] == 1]["model_score"].mean()
+        >= uniform[uniform["round"] == 1]["model_score"].mean()
+    )
