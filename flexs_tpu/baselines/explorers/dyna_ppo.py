@@ -22,6 +22,9 @@ Parity contract (reference baselines/explorers/dyna_ppo.py):
     (Adam 3e-4, entropy 0.01, running observation normalization) instead
     of the reference's bare Adam 1e-5 — TF-Agents got its learning signal
     from built-in observation/reward normalizers the raw rate hides.
+    Measured directly by scripts/ppo_ablation.py on 3MSI ed_3: bare
+    0.665, +observation normalization alone 0.889, tuned 0.986
+    (reference 0.958) — the normalizer is ~70% of the gap.
 """
 from typing import List, Optional, Tuple
 
