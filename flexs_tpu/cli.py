@@ -43,6 +43,16 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--no-mesh", action="store_true", help="run unsharded (single device)"
     )
+    parser.add_argument(
+        "--algorithm",
+        default="adalead",
+        choices=[
+            "adalead", "random", "ga", "cmaes", "bo", "dqn", "ppo",
+            "dynappo", "cbas", "dbas",
+        ],
+        help="fused explorer family (adalead uses the shared-table fast "
+        "path; the rest go through the generic landscape sweep)",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -69,16 +79,36 @@ def main(argv=None) -> int:
     )
 
     t0 = time.time()
-    df = run_robustness_sweep(
-        landscape_names=names,
-        starts=starts,
-        signal_strengths=args.signal_strengths,
-        seeds=args.seeds,
-        rounds=args.rounds,
-        sequences_batch_size=args.batch,
-        model_queries_per_batch=args.queries,
-        mesh=mesh,
-    )
+    if args.algorithm == "adalead":
+        df = run_robustness_sweep(
+            landscape_names=names,
+            starts=starts,
+            signal_strengths=args.signal_strengths,
+            seeds=args.seeds,
+            rounds=args.rounds,
+            sequences_batch_size=args.batch,
+            model_queries_per_batch=args.queries,
+            mesh=mesh,
+        )
+    else:
+        from flexs_tpu.parallel.sweep import run_landscape_robustness_sweep
+
+        landscapes = [
+            tf_binding.TFBinding(**tf_binding.registry()[n]["params"])
+            for n in names
+        ]
+        df = run_landscape_robustness_sweep(
+            landscapes,
+            "TGCA",
+            starts=starts,
+            signal_strengths=args.signal_strengths,
+            seeds=args.seeds,
+            rounds=args.rounds,
+            sequences_batch_size=args.batch,
+            model_queries_per_batch=args.queries,
+            mesh=mesh,
+            algorithm=args.algorithm,
+        )
     wall = time.time() - t0
 
     total_seqs = int(df["model_cost"].sum() + df["landscape_cost"].sum())

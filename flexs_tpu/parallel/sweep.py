@@ -248,10 +248,12 @@ def run_landscape_robustness_sweep(
         # evenly (padding repeats cell 0; dropped from the summary).
         pad = (-len(cells)) % mesh.devices.size
         if pad:
-            land_idx = np.concatenate([land_idx, land_idx[:pad]])
-            start_tokens = np.concatenate([start_tokens, start_tokens[:pad]])
-            ss_arr = np.concatenate([ss_arr, ss_arr[:pad]])
-            seed_arr = np.concatenate([seed_arr, seed_arr[:pad]])
+            # Wrap indices so grids SMALLER than the mesh still pad fully.
+            pidx = np.arange(pad) % len(cells)
+            land_idx = np.concatenate([land_idx, land_idx[pidx]])
+            start_tokens = np.concatenate([start_tokens, start_tokens[pidx]])
+            ss_arr = np.concatenate([ss_arr, ss_arr[pidx]])
+            seed_arr = np.concatenate([seed_arr, seed_arr[pidx]])
     keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seed_arr))
     cell_params = jax.tree.map(lambda x: x[land_idx], stacked)
 
@@ -445,10 +447,12 @@ def run_robustness_sweep(
         n_dev = mesh.devices.size
         pad = (-len(cells)) % n_dev
         if pad:
-            table_idx = np.concatenate([table_idx, table_idx[:pad]])
-            start_tokens = np.concatenate([start_tokens, start_tokens[:pad]])
-            ss_arr = np.concatenate([ss_arr, ss_arr[:pad]])
-            seed_arr = np.concatenate([seed_arr, seed_arr[:pad]])
+            # Wrap indices so grids SMALLER than the mesh still pad fully.
+            pidx = np.arange(pad) % len(cells)
+            table_idx = np.concatenate([table_idx, table_idx[pidx]])
+            start_tokens = np.concatenate([start_tokens, start_tokens[pidx]])
+            ss_arr = np.concatenate([ss_arr, ss_arr[pidx]])
+            seed_arr = np.concatenate([seed_arr, seed_arr[pidx]])
 
     cfg = AdaleadConfig(
         rounds=rounds,
