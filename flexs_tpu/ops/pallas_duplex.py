@@ -112,10 +112,15 @@ def _duplex_kernel(
         operand = jnp.where(m3 | m2, 1.0, 0.0)
         # One MXU matmul expands the row's 9 energy channels (module
         # docstring: exact one-hot selection).
+        # HIGHEST precision: the default f32 dot truncates operands to
+        # bf16 on the MXU, which would round the selected table energies
+        # (rna_duplex.build_slabs uses the same setting for the same
+        # reason) — required for the bit-exactness contract.
         all9 = jax.lax.dot_general(
             operand,
             tbl_ref[...],
             (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )  # [S, 9*L2p]
 
