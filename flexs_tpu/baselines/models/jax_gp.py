@@ -12,7 +12,8 @@ and predict step on device.
 
 Parity notes:
   * `JaxGaussianProcessRegressor` mirrors sklearn's default
-    `ConstantKernel(1.0) * RBF(1.0)` kernel with `alpha=1e-10` jitter and
+    `ConstantKernel(1.0) * RBF(1.0)` kernel with `alpha=1e-10` jitter
+    (plus a 1e-8 f32-Cholesky stabilizer, documented in `_fit_gp`) and
     `normalize_y=False`, maximizing the log marginal likelihood over
     (log constant, log length_scale) from the same (0, 0) start.
     Documented deviation: the optimizer is 150 Adam steps on the
@@ -64,6 +65,10 @@ def _fit_gp(tokens, labels, valid):
     def build_k(theta):
         k = _kernel(d2, theta[0], theta[1])
         k = jnp.where(outer, k, 0.0)
+        # alpha=1e-10 is sklearn's default; the extra 1e-8 stabilizes the
+        # f32 Cholesky (sklearn factorizes in f64) — documented deviation:
+        # effective diagonal noise is ~1e-8, visible only for
+        # near-duplicate training rows at tiny label scales.
         jitter = jnp.where(valid, 1e-10, 1.0)
         return k + jnp.diag(jitter) + 1e-8 * eye
 
@@ -166,11 +171,17 @@ class JaxGaussianProcessRegressor(Model):
 
 @partial(jax.jit, static_argnames=("k",))
 def _knn_predict(tokens, train_tokens, train_labels, valid, k: int):
-    dists = _hamming(tokens, train_tokens)
     n = train_tokens.shape[0]
+    dists = jnp.sum(
+        tokens[:, None, :] != train_tokens[None, :, :], axis=-1
+    ).astype(jnp.int32)
     # Index-ordered tie-break: scale distances so the train index is the
-    # low-order digit, then take the k smallest.
-    keyed = jnp.where(valid[None, :], dists * (n + 1) + jnp.arange(n), jnp.inf)
+    # low-order digit, then take the k smallest.  Integer keys stay exact
+    # (max key = L*(n+1)+n < 2^31); a float32 key would lose exactness
+    # past 2^24 and silently corrupt neighbor selection.
+    keyed = jnp.where(
+        valid[None, :], dists * (n + 1) + jnp.arange(n), jnp.iinfo(jnp.int32).max
+    )
     _, idx = jax.lax.top_k(-keyed, k)
     return jnp.mean(train_labels[idx], axis=1)
 

@@ -78,7 +78,6 @@ def run_bo_nam(
     T = max(1, -(-B // C))  # ceil(B / C) lockstep steps per round
     M = max(1, cfg.model_queries_per_batch // (C * T))  # candidates/chain
 
-    measured_cap = 1 + R * B + 1
     cache_cap = 1 + R * (C * T * M) + 1
     gen_cap = C * T + 1
 
@@ -88,12 +87,6 @@ def run_bo_nam(
         return packed_hamming.pack_tokens(tokens, A, length=L)
 
     start_truth = fitness_fn(fitness_params, start_tokens[None])[0]
-
-    measured_tokens = jnp.zeros((measured_cap, L), jnp.int32).at[0].set(start_tokens)
-    measured_truth = (
-        jnp.full((measured_cap,), -jnp.inf, jnp.float32).at[0].set(start_truth)
-    )
-    n_measured = jnp.int32(1)
 
     cache_tokens = jnp.zeros((cache_cap, L), jnp.int32).at[0].set(start_tokens)
     cache_pk = jnp.zeros((cache_cap, words), jnp.uint32).at[0].set(
@@ -106,8 +99,11 @@ def run_bo_nam(
     def nam_query(cache, costs, tokens, key):
         """NAM semantics identical to jit_runner (see there for citations).
 
-        Returns cache positions that point at the EXISTING row for cached
-        queries (so measured-truth writebacks reach the right entry).
+        Within-batch duplicate queries resolve to their FIRST occurrence
+        (one noise draw, one cache insert — the host NAM's second query
+        would hit the prediction cache), and returned cache positions
+        point at the EXISTING row for cached queries, so measured-truth
+        writebacks reach the right entry.
         """
         cache_tokens, cache_pk, cache_vals, cache_truth, n_cache = cache
         model_cost, landscape_cost = costs
@@ -118,6 +114,12 @@ def run_bo_nam(
         min_dist = jnp.min(dists, axis=1)
         nearest = jnp.argmin(dists, axis=1)
         cached = min_dist == 0
+
+        # First occurrence of each distinct candidate within the batch.
+        eq_self = jnp.all(pk[:, None, :] == pk[None, :, :], axis=-1)
+        idx = jnp.arange(n)
+        first_idx = jnp.min(jnp.where(eq_self, idx[None, :], n), axis=1)
+        is_first = first_idx == idx
 
         signal = fitness_fn(fitness_params, tokens)
         if cfg.perfect_model:
@@ -136,8 +138,9 @@ def run_bo_nam(
             values = jnp.where(
                 cached, cache_vals[nearest], alpha * signal + (1 - alpha) * noise
             )
+        values = values[first_idx]
 
-        insert = ~cached
+        insert = ~cached & is_first
         cache_tokens, pos, n_cache, (cache_pk, cache_vals, cache_truth) = (
             _masked_append(
                 cache_tokens,
@@ -153,7 +156,7 @@ def run_bo_nam(
         model_cost = model_cost + n
         if not cfg.perfect_model:
             landscape_cost = landscape_cost + 2 * jnp.sum(insert)
-        eff_pos = jnp.where(cached, nearest.astype(pos.dtype), pos)
+        eff_pos = jnp.where(cached, nearest.astype(pos.dtype), pos)[first_idx]
         return (
             (cache_tokens, cache_pk, cache_vals, cache_truth, n_cache),
             (model_cost, landscape_cost),
@@ -163,13 +166,9 @@ def run_bo_nam(
 
     def round_body(carry, _):
         (
-            measured_tokens,
-            measured_truth,
-            n_measured,
             cache,
             model_cost,
             landscape_cost,
-            best_fitness,
             prev_tokens,
             prev_truth,
             prev_valid,
@@ -191,7 +190,7 @@ def run_bo_nam(
         n_gen = jnp.int32(0)
 
         def step_body(step_carry, _):
-            states, gen_state, cache, costs, best_fitness, key = step_carry
+            states, gen_state, cache, costs, key = step_carry
             gen_tokens, gen_pk, gen_preds, gen_cache_pos, n_gen = gen_state
 
             key, k_flip, k_pos, k_res, k_nam = jax.random.split(key, 5)
@@ -217,7 +216,6 @@ def run_bo_nam(
             chosen = flat[take]  # int32[C, L]
             chosen_vals = vals[take]
             chosen_pos = pos[take].astype(jnp.int32)
-            best_fitness = jnp.maximum(best_fitness, jnp.max(chosen_vals))
 
             # Visited states join the proposal pool, deduped within the
             # round (the reference's `samples` dict keys, bo.py:262-266).
@@ -247,18 +245,16 @@ def run_bo_nam(
                 (gen_tokens, gen_pk, gen_preds, gen_cache_pos, n_gen),
                 cache,
                 costs,
-                best_fitness,
                 key,
             ), None
 
-        (states, gen_state, cache, costs, best_fitness, key), _ = jax.lax.scan(
+        (states, gen_state, cache, costs, key), _ = jax.lax.scan(
             step_body,
             (
                 states,
                 (gen_tokens, gen_pk, gen_preds, gen_cache_pos, n_gen),
                 cache,
                 (model_cost, landscape_cost),
-                best_fitness,
                 key,
             ),
             None,
@@ -274,14 +270,6 @@ def run_bo_nam(
         truth = jnp.where(valid, fitness_fn(fitness_params, proposals), -jnp.inf)
         landscape_cost = landscape_cost + jnp.sum(valid)
 
-        measured_tokens, _, n_measured, (measured_truth,) = _masked_append(
-            measured_tokens,
-            proposals,
-            n_measured,
-            valid,
-            aux_bufs=(measured_truth,),
-            aux_rows=(truth,),
-        )
         # NAM training = cache measured truth (reference
         # noisy_abstract_model.py:62-67); positions point at existing rows
         # even for revisited sequences (nam_query returns effective pos).
@@ -296,13 +284,9 @@ def run_bo_nam(
 
         out = (proposals, top_vals, truth, valid, model_cost, landscape_cost)
         return (
-            measured_tokens,
-            measured_truth,
-            n_measured,
             cache,
             model_cost,
             landscape_cost,
-            best_fitness,
             proposals,
             truth,
             valid,
@@ -313,13 +297,9 @@ def run_bo_nam(
     prev_truth = jnp.full((B,), -jnp.inf, jnp.float32).at[0].set(start_truth)
     prev_valid = jnp.zeros((B,), bool).at[0].set(True)
     init = (
-        measured_tokens,
-        measured_truth,
-        n_measured,
         (cache_tokens, cache_pk, cache_vals, cache_truth, n_cache),
         jnp.int32(0),
         jnp.int32(1),
-        jnp.float32(0.0),
         prev_tokens,
         prev_truth,
         prev_valid,
