@@ -10,9 +10,14 @@ mesh-sharded sweep.
 
 Run:  python examples/tutorial.py          (any backend)
 """
+import os
+import sys
+
 import numpy as np
 
-import flexs_tpu as flexs
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import flexs_tpu as flexs  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # 1. Landscapes come from per-module registries of benchmark problems.
