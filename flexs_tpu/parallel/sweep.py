@@ -212,6 +212,8 @@ def run_landscape_robustness_sweep(
     chunk_size: Optional[int] = None,
     algorithm: str = "adalead",
     algorithm_kwargs: Optional[dict] = None,
+    model: str = "nam",
+    surrogate_spec=None,
 ) -> pd.DataFrame:
     """Robustness sweep over ANY family of device-fitness landscapes.
 
@@ -224,6 +226,12 @@ def run_landscape_robustness_sweep(
     `algorithm` selects the fused explorer family ("adalead", "random",
     "ga", "cmaes", "bo", "dqn", "ppo", "dynappo", "cbas", "dbas");
     `algorithm_kwargs` are its static hyperparameters.
+
+    `model` selects the fused surrogate family: "nam" (sweeps
+    `signal_strengths`), "perfect", or "surrogate" — an empirical Flax
+    net (`flexs_tpu.runtime.surrogate.SurrogateSpec`, default = the
+    paper's CNN) trained in-program each round per cell; with it,
+    `signal_strengths` is ignored and should be `[1.0]`.
     """
     alpha: Alphabet = as_alphabet(alphabet)
     fns_params = [land.device_fitness() for land in landscapes]
@@ -257,11 +265,19 @@ def run_landscape_robustness_sweep(
     keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seed_arr))
     cell_params = jax.tree.map(lambda x: x[land_idx], stacked)
 
+    if model not in ("nam", "perfect", "surrogate"):
+        raise ValueError("model must be 'nam', 'perfect' or 'surrogate'")
+    if model == "surrogate" and surrogate_spec is None:
+        from flexs_tpu.runtime.surrogate import SurrogateSpec
+
+        surrogate_spec = SurrogateSpec()
     cfg = AdaleadConfig(
         rounds=rounds,
         sequences_batch_size=sequences_batch_size,
         model_queries_per_batch=model_queries_per_batch,
         alphabet_size=len(alpha),
+        perfect_model=(model == "perfect"),
+        surrogate=surrogate_spec if model == "surrogate" else None,
     )
     cell_fn = _cell_runner(
         algorithm, tuple(sorted((algorithm_kwargs or {}).items()))

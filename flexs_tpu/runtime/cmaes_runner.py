@@ -30,6 +30,7 @@ from flexs_tpu.alphabet import Alphabet, as_alphabet
 from flexs_tpu.ops import cmaes as cma_ops
 from flexs_tpu.ops import packed_hamming
 from flexs_tpu.runtime import jit_runner
+from flexs_tpu.runtime import surrogate as surrogate_lib
 from flexs_tpu.runtime.jit_runner import RunResult, device_run_args, fetch_run_result, _dists_to_cache, _masked_append
 
 
@@ -85,8 +86,13 @@ def run_cmaes_nam(
     cache_truth = jnp.zeros((cache_cap,), jnp.float32).at[0].set(start_truth)
     n_cache = jnp.int32(1)
 
-    def nam_query(cache, costs, tokens, mask, key):
-        """Identical NAM semantics to jit_runner (see there for citations)."""
+    def nam_query(cache, costs, tokens, mask, key, surr=None):
+        """Identical model semantics to jit_runner (see there for citations).
+
+        Surrogate mode: every row is a fresh forward through the carried
+        net (retrained between rounds); the cache still tracks seen
+        sequences so the generated-pool memoization stays exact.
+        """
         cache_tokens, cache_pk, cache_vals, cache_truth, n_cache = cache
         model_cost, landscape_cost = costs
 
@@ -96,10 +102,14 @@ def run_cmaes_nam(
         nearest = jnp.argmin(dists, axis=1)
         cached = min_dist == 0
 
-        signal = fitness_fn(fitness_params, tokens)
-        if cfg.perfect_model:
+        if cfg.surrogate is not None:
+            signal = surrogate_lib.predict(cfg.surrogate, A, surr, tokens)
+            values = signal
+        elif cfg.perfect_model:
+            signal = fitness_fn(fitness_params, tokens)
             values = jnp.where(cached, cache_vals[nearest], signal)
         else:
+            signal = fitness_fn(fitness_params, tokens)
             key, k_exp, k_choice = jax.random.split(key, 3)
             expo = jax.random.exponential(k_exp, (tokens.shape[0],))
             rand_idx = jax.random.randint(
@@ -126,7 +136,7 @@ def run_cmaes_nam(
             )
         )
         model_cost = model_cost + jnp.sum(mask)
-        if not cfg.perfect_model:
+        if not cfg.perfect_model and cfg.surrogate is None:
             landscape_cost = landscape_cost + 2 * jnp.sum(insert)
         return (
             (cache_tokens, cache_pk, cache_vals, cache_truth, n_cache),
@@ -143,9 +153,19 @@ def run_cmaes_nam(
             cache,
             model_cost,
             landscape_cost,
+            surr_state,
             key,
         ) = carry
         round_start_cost = model_cost
+
+        # Surrogate mode: warm-started multi-epoch fit on the measured
+        # buffer before proposing (reference explorer.py:157-160).
+        if cfg.surrogate is not None:
+            key, k_fit = jax.random.split(key)
+            surr_state = surrogate_lib.train(
+                cfg.surrogate, A, surr_state,
+                measured_tokens, measured_truth, n_measured, k_fit,
+            )
 
         # x0 = one-hot of the best measured sequence; seed the generated
         # pool with it (reference cmaes.py:80-92).
@@ -206,7 +226,9 @@ def run_cmaes_nam(
             # Host parity: within-generation duplicates each pay a query;
             # only the generated-pool recording is deduplicated.
             pay = ~in_gen & ~in_meas
-            cache, costs, nam_vals, pos = nam_query(cache, costs, tokens, pay, k_nam)
+            cache, costs, nam_vals, pos = nam_query(
+                cache, costs, tokens, pay, k_nam, surr=surr_state
+            )
 
             fitnesses = jnp.where(
                 in_gen, gen_vals, jnp.where(in_meas, meas_vals, nam_vals)
@@ -280,8 +302,15 @@ def run_cmaes_nam(
             cache,
             model_cost,
             landscape_cost,
+            surr_state,
             key,
         ), out
+
+    if cfg.surrogate is not None:
+        key, k_init = jax.random.split(key)
+        surr0 = surrogate_lib.init_state(cfg.surrogate, A, L, k_init)
+    else:
+        surr0 = ()
 
     init = (
         measured_tokens,
@@ -290,6 +319,7 @@ def run_cmaes_nam(
         (cache_tokens, cache_pk, cache_vals, cache_truth, n_cache),
         jnp.int32(0),
         jnp.int32(1),
+        surr0,
         key,
     )
     _, outs = jax.lax.scan(round_body, init, None, length=R)
@@ -313,32 +343,43 @@ class DeviceCMAESNAM:
         signal_strength: float = 0.9,
         maximize: bool = False,
         model: str = "nam",
+        surrogate_spec: Optional[surrogate_lib.SurrogateSpec] = None,
         seed: int = 0,
     ):
-        """Create the fused CMAES runner for `landscape`."""
-        if model not in ("nam", "perfect"):
-            raise ValueError("model must be 'nam' or 'perfect'")
+        """Create the fused CMAES runner for `landscape`.
+
+        `model="surrogate"` carries an empirical Flax net (default = the
+        paper's 3x-CNN ensemble used for the TF-Bind CMAES runs,
+        `Ens(CNN_hidden_size_100_num_filters_32|...)`) retrained on the
+        measured set every round inside the device program.
+        """
+        if model not in ("nam", "perfect", "surrogate"):
+            raise ValueError("model must be 'nam', 'perfect' or 'surrogate'")
+        if model == "surrogate" and surrogate_spec is None:
+            surrogate_spec = surrogate_lib.SurrogateSpec(ensemble_size=3)
         self.landscape = landscape
         self.alphabet: Alphabet = as_alphabet(alphabet)
         self.starting_sequence = starting_sequence
-        self.signal_strength = 1.0 if model == "perfect" else signal_strength
+        self.signal_strength = 1.0 if model != "nam" else signal_strength
         self.population_size = population_size
         self.max_iter = max_iter
         self.initial_variance = initial_variance
         self.maximize = maximize
         self.seed = seed
         self.name = f"DeviceCMAES_popsize{population_size}"
-        self.model_name = (
-            f"LandscapeAsModel={landscape.name}"
-            if model == "perfect"
-            else f"NAMb_ss{signal_strength}"
-        )
+        if model == "perfect":
+            self.model_name = f"LandscapeAsModel={landscape.name}"
+        elif model == "surrogate":
+            self.model_name = surrogate_spec.model_name
+        else:
+            self.model_name = f"NAMb_ss{signal_strength}"
         self.cfg = jit_runner.AdaleadConfig(
             rounds=rounds,
             sequences_batch_size=sequences_batch_size,
             model_queries_per_batch=model_queries_per_batch,
             alphabet_size=len(self.alphabet),
             perfect_model=(model == "perfect"),
+            surrogate=surrogate_spec if model == "surrogate" else None,
         )
         self._fitness_fn, self._fitness_params = landscape.device_fitness()
 

@@ -1,0 +1,218 @@
+"""In-program trained surrogates for the fused device runners.
+
+The reference's headline empirical experiments train a Keras CNN (or a
+3x-CNN ensemble) on all measured data every round and let the explorer
+query it (reference baselines/models/cnn.py:23-67, keras_model.py:49-79;
+experiments at paper_code/cloud/runs/rosetta_cnn/ and runs/cmaes/*_cnn).
+The host-loop rebuild reproduces this through `FlaxModel`, but each round
+still crosses the host<->device boundary dozens of times.
+
+This module lets the fused runners carry the surrogate INSIDE the device
+program: parameters + Adam state live in the `lax.scan` round carry, the
+whole multi-epoch fit is a nested scan over shuffled fixed-shape
+minibatches of the measured buffer, and candidate scoring is one forward
+pass — so a complete trained-surrogate experiment (the class the reference
+paper actually features) is a single device dispatch.
+
+Parity notes vs the Keras fit (keras_model.py:49-67):
+  * same arch (CNNModule — layer-for-layer vs reference cnn.py:23-54),
+    same Adam(1e-3), MSE, 20 epochs, batch 256, warm-started per round,
+    dropout active in training;
+  * the measured set lives in a fixed-capacity buffer, so every epoch is a
+    fixed grid of `ceil(capacity/batch)` minibatches with padding rows
+    carrying zero weight; a minibatch whose rows are ALL padding is a
+    true no-op (params and opt state are kept, not just zero-gradient).
+    Early rounds therefore take the same number of (mostly lighter)
+    steps as late rounds, where Keras would take fewer, denser ones —
+    the per-epoch pass over the real data is identical in expectation;
+  * ensembles (reference ensemble.py:10-59 with the default mean
+    `combine_with`) carry a leading member axis and train/score via vmap.
+"""
+from functools import lru_cache
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+from flexs_tpu.baselines.models.cnn import CNNModule
+from flexs_tpu.baselines.models.mlp import MLPModule
+
+
+class SurrogateSpec(NamedTuple):
+    """Static surrogate configuration (compile-time constant).
+
+    Defaults mirror the reference paper runs: CNN with 32 filters and
+    hidden size 100 (metadata `CNN_hidden_size_100_num_filters_32`),
+    Keras fit defaults of 20 epochs at batch 256 with Adam(1e-3).
+    """
+
+    arch: str = "cnn"  # "cnn" | "mlp"
+    ensemble_size: int = 1
+    num_filters: int = 32
+    hidden_size: int = 100
+    kernel_size: int = 5
+    epochs: int = 20
+    batch_size: int = 256
+    learning_rate: float = 1e-3
+
+    @property
+    def model_name(self) -> str:
+        """Reference-format model metadata name (cnn.py:67, ensemble.py:36)."""
+        if self.arch == "cnn":
+            base = (
+                f"CNN_hidden_size_{self.hidden_size}"
+                f"_num_filters_{self.num_filters}"
+            )
+        else:
+            base = f"MLP_hidden_size_{self.hidden_size}"
+        if self.ensemble_size == 1:
+            return base
+        return "Ens(" + "|".join([base] * self.ensemble_size) + ")"
+
+
+class SurrogateState(NamedTuple):
+    """Traced surrogate state (leading member axis on both leaves)."""
+
+    params: dict
+    opt_state: tuple
+
+
+@lru_cache(maxsize=64)
+def _module(spec: SurrogateSpec, alphabet_size: int):
+    """Stable module instance per (spec, alphabet) for jit-cache identity."""
+    if spec.arch == "cnn":
+        return CNNModule(
+            num_filters=spec.num_filters,
+            hidden_size=spec.hidden_size,
+            alphabet_size=alphabet_size,
+            kernel_size=spec.kernel_size,
+        )
+    if spec.arch == "mlp":
+        return MLPModule(hidden_size=spec.hidden_size)
+    raise ValueError(f"unknown surrogate arch {spec.arch!r}")
+
+
+@lru_cache(maxsize=64)
+def _tx(spec: SurrogateSpec):
+    return optax.adam(spec.learning_rate)
+
+
+def init_state(spec: SurrogateSpec, alphabet_size: int, length: int, key):
+    """Initialize ensemble_size independent members (vmapped leading axis)."""
+    module = _module(spec, alphabet_size)
+    tx = _tx(spec)
+    dummy = jnp.zeros((1, length, alphabet_size), jnp.float32)
+
+    def one(k):
+        params = module.init({"params": k, "dropout": k}, dummy, train=False)
+        return SurrogateState(params=params, opt_state=tx.init(params))
+
+    return jax.vmap(one)(jax.random.split(key, spec.ensemble_size))
+
+
+def train(
+    spec: SurrogateSpec,
+    alphabet_size: int,
+    state: SurrogateState,
+    tokens: jnp.ndarray,
+    truth: jnp.ndarray,
+    n_rows,
+    key,
+) -> SurrogateState:
+    """One full warm-started fit on the live rows of the measured buffer.
+
+    Args:
+        tokens: int32[cap, L] measured-sequence buffer (fixed capacity).
+        truth: f32[cap] true scores (-inf on unfilled rows).
+        n_rows: live row count (traced).
+        key: PRNG key (per-member shuffle/dropout streams are split off).
+    """
+    module = _module(spec, alphabet_size)
+    tx = _tx(spec)
+
+    cap = tokens.shape[0]
+    bs = min(spec.batch_size, cap)
+    num_batches = -(-cap // bs)
+    padded = num_batches * bs
+
+    x = jax.nn.one_hot(tokens, alphabet_size, dtype=jnp.float32)
+    w = ((jnp.arange(cap) < n_rows) & jnp.isfinite(truth)).astype(jnp.float32)
+    y = jnp.where(jnp.isfinite(truth), truth, 0.0)
+    if padded > cap:
+        x = jnp.pad(x, ((0, padded - cap), (0, 0), (0, 0)))
+        y = jnp.pad(y, (0, padded - cap))
+        w = jnp.pad(w, (0, padded - cap))
+
+    def fit_one(params, opt_state, k):
+        def minibatch_step(carry, idx):
+            params, opt_state, k = carry
+            k, dk = jax.random.split(k)
+            xb, yb, wb = x[idx], y[idx], w[idx]
+            wsum = jnp.sum(wb)
+
+            def batch_loss(p):
+                preds = module.apply(
+                    p, xb, train=True, rngs={"dropout": dk}
+                ).reshape(bs)
+                return jnp.sum(jnp.square(preds - yb) * wb) / (wsum + 1e-9)
+
+            grads = jax.grad(batch_loss)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            # All-padding minibatches are true no-ops (Keras would simply
+            # not run them): keep params AND optimizer state untouched.
+            has = wsum > 0
+            sel = lambda a, b: jnp.where(has, a, b)
+            params = jax.tree.map(sel, new_params, params)
+            opt_state = jax.tree.map(sel, new_opt, opt_state)
+            return (params, opt_state, k), None
+
+        def epoch_step(carry, _):
+            params, opt_state, k = carry
+            k, pk = jax.random.split(k)
+            perm = jax.random.permutation(pk, padded).reshape(num_batches, bs)
+            carry, _ = jax.lax.scan(
+                minibatch_step, (params, opt_state, k), perm
+            )
+            return carry, None
+
+        (params, opt_state, _), _ = jax.lax.scan(
+            epoch_step, (params, opt_state, k), None, length=spec.epochs
+        )
+        return SurrogateState(params=params, opt_state=opt_state)
+
+    keys = jax.random.split(key, spec.ensemble_size)
+    return jax.vmap(fit_one)(state.params, state.opt_state, keys)
+
+
+def predict(
+    spec: SurrogateSpec,
+    alphabet_size: int,
+    state: SurrogateState,
+    tokens: jnp.ndarray,
+) -> jnp.ndarray:
+    """Mean-over-members prediction f32[B] for int32[B, L] tokens.
+
+    Mirrors `KerasModel._fitness_function` (predict + nan_to_num,
+    keras_model.py:69-79) and the Ensemble's default mean combine
+    (ensemble.py:24,54-59).
+    """
+    return jnp.mean(predict_members(spec, alphabet_size, state, tokens), axis=0)
+
+
+def predict_members(
+    spec: SurrogateSpec,
+    alphabet_size: int,
+    state: SurrogateState,
+    tokens: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-member predictions f32[members, B] (for BO-style acquisition)."""
+    x = jax.nn.one_hot(tokens, alphabet_size, dtype=jnp.float32)
+    module = _module(spec, alphabet_size)
+
+    def one(params):
+        return module.apply(params, x, train=False).reshape(x.shape[0])
+
+    return jnp.nan_to_num(jax.vmap(one)(state.params))

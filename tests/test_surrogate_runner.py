@@ -1,0 +1,132 @@
+"""Fused trained-surrogate (in-program CNN/ensemble) runner tests.
+
+These cover the experiment class the reference paper actually features —
+trained empirical surrogates guiding the explorer (reference
+paper_code/cloud/runs/rosetta_cnn/ and runs/cmaes/*_cnn) — executed
+entirely inside one device program per run.
+"""
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import flexs_tpu as flexs
+from flexs_tpu.landscapes import tf_binding
+from flexs_tpu.parallel import run_landscape_robustness_sweep
+from flexs_tpu.runtime import surrogate
+from flexs_tpu.runtime.cmaes_runner import DeviceCMAESNAM
+from flexs_tpu.runtime.jit_runner import DeviceAdaleadNAM
+
+TINY_CNN = surrogate.SurrogateSpec(
+    num_filters=8, hidden_size=16, epochs=3, batch_size=64
+)
+
+
+@pytest.fixture(scope="module")
+def landscape():
+    return flexs.landscapes.TFBinding(name="SIX6_REF_R1")
+
+
+def test_surrogate_fit_reduces_loss():
+    """A fit on a fixed measured buffer must reduce held-in MSE."""
+    key = jax.random.PRNGKey(0)
+    L, A, n = 8, 4, 60
+    tokens = jax.random.randint(key, (64, L), 0, A)
+    truth = jax.numpy.where(
+        jax.numpy.arange(64) < n,
+        jax.numpy.sum(tokens == 2, axis=1).astype(np.float32) / L,
+        -np.inf,
+    )
+    spec = surrogate.SurrogateSpec(
+        num_filters=8, hidden_size=16, epochs=10, batch_size=32
+    )
+    state = surrogate.init_state(spec, A, L, key)
+
+    def mse(state):
+        preds = surrogate.predict(spec, A, state, tokens[:n])
+        return float(np.mean((np.asarray(preds) - np.asarray(truth[:n])) ** 2))
+
+    before = mse(state)
+    state = surrogate.train(spec, A, state, tokens, truth, n, key)
+    after = mse(state)
+    assert after < before * 0.5, (before, after)
+
+
+def test_device_adalead_surrogate(landscape):
+    explorer = DeviceAdaleadNAM(
+        landscape,
+        "TGCA",
+        rounds=3,
+        sequences_batch_size=8,
+        model_queries_per_batch=40,
+        starting_sequence=tf_binding.STARTS[0],
+        model="surrogate",
+        surrogate_spec=TINY_CNN,
+    )
+    assert explorer.model_name == "CNN_hidden_size_16_num_filters_8"
+    df, metadata = explorer.run(verbose=False)
+    assert df["true_score"].max() >= df["true_score"].iloc[0]
+    # Landscape pays ONLY for measurements (start + proposals), never for
+    # model queries (reference keras surrogate semantics).
+    assert df["measurement_cost"].max() == len(df)
+    assert (df[df["round"] > 0]["model_cost"] > 0).all()
+
+
+def test_device_cmaes_surrogate_ensemble(landscape):
+    explorer = DeviceCMAESNAM(
+        landscape,
+        "TGCA",
+        rounds=3,
+        sequences_batch_size=8,
+        model_queries_per_batch=60,
+        starting_sequence=tf_binding.STARTS[0],
+        population_size=6,
+        max_iter=50,
+        maximize=True,
+        model="surrogate",
+        surrogate_spec=TINY_CNN._replace(ensemble_size=2),
+    )
+    assert explorer.model_name == (
+        "Ens(CNN_hidden_size_16_num_filters_8|CNN_hidden_size_16_num_filters_8)"
+    )
+    df, _ = explorer.run(verbose=False)
+    assert df["true_score"].max() >= df["true_score"].iloc[0]
+
+
+def test_surrogate_sweep_sharded(landscape):
+    """Surrogate cells vmap + shard over the mesh like NAM cells."""
+    mesh = Mesh(np.array(jax.devices()), ("cells",))
+    df = run_landscape_robustness_sweep(
+        [landscape],
+        "TGCA",
+        starts=tf_binding.STARTS[:2],
+        signal_strengths=[1.0],
+        seeds=[0, 1],
+        rounds=2,
+        sequences_batch_size=5,
+        model_queries_per_batch=20,
+        mesh=mesh,
+        model="surrogate",
+        surrogate_spec=TINY_CNN,
+    )
+    assert len(df) == 4
+    assert (df["max_fitness"] >= df["start_fitness"]).all()
+    assert (df["model_cost"] > 0).all()
+
+
+def test_surrogate_sweep_cmaes(landscape):
+    df = run_landscape_robustness_sweep(
+        [landscape],
+        "TGCA",
+        starts=tf_binding.STARTS[:1],
+        signal_strengths=[1.0],
+        rounds=2,
+        sequences_batch_size=5,
+        model_queries_per_batch=30,
+        algorithm="cmaes",
+        algorithm_kwargs={"population_size": 6, "max_iter": 40, "maximize": True},
+        model="surrogate",
+        surrogate_spec=TINY_CNN,
+    )
+    assert len(df) == 1
+    assert (df["max_fitness"] >= df["start_fitness"]).all()
