@@ -357,6 +357,12 @@ class GPR_BO(Explorer):
         round-trips (SURVEY.md §7 M3: "a single vmapped scoring pass on
         TPU") — with the string API as fallback.  Cost accounting matches
         `get_fitness` semantics either way (+= space size).
+
+        Preserved reference quirk: with a NON-ensemble model, sigma stays
+        all-zero (the reference takes np.std over a scalar prediction,
+        bo.py:319), so Thompson/UCB collapse to greedy argmax over mu.
+        Only an identity-combine Ensemble (per-member prediction columns)
+        produces a real posterior spread.
         """
         tokens = self._space_tokens()
         n = len(tokens)

@@ -222,11 +222,13 @@ def _contracted_tables(target_rev, em, l2p):
 
 
 def _records_and_patches(seq_tokens, target_rev, em, l2p):
-    """Row records f32[B, L1, 128] + full-row boundary patches.
+    """Compact row records f32[B, L1, 4] + full-row boundary patches.
 
-    Record lanes: 0:64 one-hot seq trigram, 64:80 one-hot forward bigram,
-    80 = OPEN column-0 patch, 81 = CLOSE column-(L2-1) patch, rest zero.
-    Patch values mirror rd.build_slabs' boundary block exactly.
+    Record fields per DP row: [0] seq-trigram index (0..63), [1] forward-
+    bigram index (0..15) — expanded to the [S, 128] one-hot matmul operand
+    in-kernel — [2] OPEN column-0 patch energy, [3] CLOSE column-(L2-1)
+    patch energy.  Patch values mirror rd.build_slabs' boundary block
+    exactly.
     """
     b, l1 = seq_tokens.shape
     l2 = target_rev.shape[0]

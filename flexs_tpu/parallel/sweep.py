@@ -23,6 +23,11 @@ import numpy as np
 import pandas as pd
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+try:  # JAX >= 0.4.35 moved shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover - version shim
+    from jax.experimental.shard_map import shard_map
+
 from flexs_tpu.alphabet import Alphabet, as_alphabet
 from flexs_tpu.parallel import multihost
 from flexs_tpu.runtime.jit_runner import AdaleadConfig, RunResult, run_adalead_nam
@@ -36,14 +41,33 @@ def _indexed_table_fitness(params, tokens):
     return tables[idx, flat]
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _sweep_impl(tables, table_idx, start_tokens, signal_strengths, keys, cfg):
-    def one_cell(idx, start, ss, key):
-        return run_adalead_nam(
-            _indexed_table_fitness, (tables, idx), start, cfg, ss, key
-        )
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _sweep_impl(tables, table_idx, start_tokens, signal_strengths, keys, cfg,
+                mesh=None):
+    def vmapped(tables, table_idx, start_tokens, signal_strengths, keys):
+        def one_cell(idx, start, ss, key):
+            return run_adalead_nam(
+                _indexed_table_fitness, (tables, idx), start, cfg, ss, key
+            )
 
-    return jax.vmap(one_cell)(table_idx, start_tokens, signal_strengths, keys)
+        return jax.vmap(one_cell)(table_idx, start_tokens, signal_strengths, keys)
+
+    if mesh is None:
+        return vmapped(tables, table_idx, start_tokens, signal_strengths, keys)
+    # shard_map, not vmap-over-sharded-axis: each device runs its shard of
+    # cells as an INDEPENDENT program.  A sharded vmap would lower the
+    # per-cell `while_loop` predicates to per-iteration pred all-reduces
+    # and the per-cell top_k to an all-gathered TopK — cross-device
+    # lockstep the workload doesn't need.  With shard_map the compiled
+    # module is collective-FREE (asserted by scripts/bench_scaling.py).
+    spec = P(mesh.axis_names)
+    return shard_map(
+        vmapped,
+        mesh=mesh,
+        in_specs=(P(), spec, spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )(tables, table_idx, start_tokens, signal_strengths, keys)
 
 
 def sweep_adalead_nam(
@@ -112,7 +136,7 @@ def sweep_adalead_nam(
         args = put(
             table_idx[idx], start_tokens[idx], signal_strengths[idx], keys[idx]
         )
-        out = _sweep_impl(tables, *args, cfg)
+        out = _sweep_impl(tables, *args, cfg, mesh)
         out = multihost.gather_to_host(out)
         results.append(
             jax.tree.map(lambda x, n=sl.stop - sl.start: x[:n], out)
@@ -189,14 +213,31 @@ def _cell_runner(algorithm: str, algorithm_kwargs: tuple):
     raise ValueError(f"unknown fused algorithm {algorithm!r}")
 
 
-@partial(jax.jit, static_argnames=("cfg", "fitness_fn", "cell_fn"))
+@partial(jax.jit, static_argnames=("cfg", "fitness_fn", "cell_fn", "mesh"))
 def _sweep_generic_impl(
-    stacked_params, start_tokens, signal_strengths, keys, cfg, fitness_fn, cell_fn
+    stacked_params, start_tokens, signal_strengths, keys, cfg, fitness_fn,
+    cell_fn, mesh=None,
 ):
-    def one_cell(params, start, ss, key):
-        return cell_fn(fitness_fn, params, start, cfg, ss, key)
+    def vmapped(stacked_params, start_tokens, signal_strengths, keys):
+        def one_cell(params, start, ss, key):
+            return cell_fn(fitness_fn, params, start, cfg, ss, key)
 
-    return jax.vmap(one_cell)(stacked_params, start_tokens, signal_strengths, keys)
+        return jax.vmap(one_cell)(
+            stacked_params, start_tokens, signal_strengths, keys
+        )
+
+    if mesh is None:
+        return vmapped(stacked_params, start_tokens, signal_strengths, keys)
+    # See _sweep_impl: shard_map keeps every device's cell shard an
+    # independent collective-free program.
+    spec = P(mesh.axis_names)
+    return shard_map(
+        vmapped,
+        mesh=mesh,
+        in_specs=(spec, spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )(stacked_params, start_tokens, signal_strengths, keys)
 
 
 def run_landscape_robustness_sweep(
@@ -303,7 +344,7 @@ def run_landscape_robustness_sweep(
         if mesh is not None:
             sharding = NamedSharding(mesh, P(mesh.axis_names))
             args = jax.tree.map(lambda x: jax.device_put(x, sharding), args)
-        out = _sweep_generic_impl(*args, cfg, fitness_fn, cell_fn)
+        out = _sweep_generic_impl(*args, cfg, fitness_fn, cell_fn, mesh)
         # Gather to host numpy BEFORE slicing: on a multi-host mesh the
         # device arrays are not fully addressable, and uneven slices would
         # break the sharding anyway.

@@ -27,8 +27,9 @@ Semantics per host explorer (reference cbas_dbas.py:85-192):
 Documented deviations: VAE minibatches are drawn by shuffling the
 fixed-capacity padded pool (padding rows carry weight 0 and contribute no
 gradient) rather than only the filled prefix, and temperature escalation
-counts rejections per sampled batch — both equivalent in distribution, not
-draw-for-draw.
+counts actual rejections but updates the count once per sampled batch
+(all candidates within a batch share a temperature, where the reference
+escalates between consecutive single draws) — close but not draw-for-draw.
 """
 import time
 from functools import partial
@@ -448,12 +449,12 @@ def run_cbas_nam(
                 variables, z, train=False, method=VAEModule.decode
             )[0].reshape(L, A)
 
-            def draw(k, t):
-                # Temperature after t batches: 0.001 * 1.3^(rejections) —
-                # approximated per-batch as 1.3^(t * cycle_batch_size).
-                temp = 0.001 * jnp.power(
-                    1.3, (t * cycle_batch_size).astype(jnp.float32)
-                )
+            def draw(k, rej):
+                # Temperature 0.001 * 1.3^(rejections so far) — the
+                # reference escalates per rejected draw (VAE_utils.py:
+                # 175-185); here the count updates per sampled batch, so
+                # all candidates within one batch share a temperature.
+                temp = 0.001 * jnp.power(1.3, rej.astype(jnp.float32))
                 logits = pwm / jnp.maximum(temp, 1e-8)
                 return jax.random.categorical(
                     k, logits[None], axis=-1, shape=(cycle_batch_size, L)
@@ -466,13 +467,13 @@ def run_cbas_nam(
             # samples, host `existing`) and the proposals drawn so far this
             # cycle (host `seen`), plus in-batch first-occurrence dedup.
             def cond(state):
-                _, _, n_prop, _, t = state
+                _, _, n_prop, _, t, _ = state
                 return (n_prop < cycle_batch_size) & (t < 200)
 
             def body(state):
-                prop, prop_pk, n_prop, key, t = state
+                prop, prop_pk, n_prop, key, t, rej = state
                 key, k_draw = jax.random.split(key)
-                cand = draw(k_draw, t)
+                cand = draw(k_draw, rej)
                 cand_pk = pack(cand)
                 novel_pool = (
                     jnp.min(
@@ -502,10 +503,15 @@ def run_cbas_nam(
                     prop, cand, n_prop, accept, aux_bufs=(prop_pk,),
                     aux_rows=(cand_pk,),
                 )
-                return prop, prop_pk, n_prop, key, t + 1
+                # Each non-novel draw is one rejection (reference
+                # VAE_utils.py:182-185); novel-but-over-quota candidates
+                # would never have been drawn and don't count.
+                rej = rej + jnp.sum((~novel).astype(jnp.int32))
+                return prop, prop_pk, n_prop, key, t + 1, rej
 
-            prop, prop_pk, n_prop, key, _ = jax.lax.while_loop(
-                cond, body, (prop, prop_pk, jnp.int32(0), key, jnp.int32(0))
+            prop, prop_pk, n_prop, key, _, _ = jax.lax.while_loop(
+                cond, body,
+                (prop, prop_pk, jnp.int32(0), key, jnp.int32(0), jnp.int32(0)),
             )
             proposals = prop[:cycle_batch_size]
             valid = jnp.arange(cycle_batch_size) < n_prop

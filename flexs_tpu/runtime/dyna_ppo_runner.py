@@ -149,6 +149,14 @@ def run_dyna_ppo_nam(
         nearest = jnp.argmin(dists, axis=1)
         cached = min_dist == 0
 
+        # Within-batch first-occurrence dedup (same scheme as the BO/CbAS
+        # runners): identical sequences in one episode batch share ONE
+        # noise draw and insert ONE cache row, matching host NAM
+        # semantics where the second query is a cache hit.
+        eq_self = jnp.all(pk[:, None, :] == pk[None, :, :], axis=-1)
+        first_idx = jnp.argmax(eq_self, axis=1)
+        dup_earlier = first_idx < jnp.arange(tokens.shape[0])
+
         signal = fitness_fn(fitness_params, tokens)
         if cfg.perfect_model:
             values = jnp.where(cached, cache_vals[nearest], signal)
@@ -167,7 +175,9 @@ def run_dyna_ppo_nam(
                 cached, cache_vals[nearest], alpha * signal + (1 - alpha) * noise
             )
 
-        insert = ~cached
+        values = jnp.where(dup_earlier, values[first_idx], values)
+
+        insert = ~cached & ~dup_earlier
         cache_tokens, pos, n_cache, (cache_pk, cache_vals, cache_truth) = (
             _masked_append(
                 cache_tokens,
@@ -179,6 +189,7 @@ def run_dyna_ppo_nam(
             )
         )
         pos = jnp.where(cached, nearest, pos)
+        pos = jnp.where(dup_earlier, pos[first_idx], pos)
         model_cost = model_cost + tokens.shape[0]
         if not cfg.perfect_model:
             landscape_cost = landscape_cost + 2 * jnp.sum(insert)

@@ -39,7 +39,8 @@ def run_random_nam(
 
     `elitist=True` proposes the top `sequences_batch_size` of the
     generated pool by model score; `elitist=False` proposes a uniform
-    random subset (the reference Random's default, random.py:83-88).
+    random sample drawn WITH replacement (the reference Random's default,
+    random.py:83-88 — duplicates are possible and each is measured).
     """
     B = cfg.sequences_batch_size
     budget = cfg.model_queries_per_batch
@@ -211,13 +212,16 @@ def run_random_nam(
         in_pool = jnp.arange(gen_cap) < n_gen
         if elitist:
             rank_by = jnp.where(in_pool, gen_preds, -jnp.inf)
+            _, top_idx = jax.lax.top_k(rank_by, B)
         else:
             key, k_sub = jax.random.split(key)
-            # Uniform sample without replacement: top-k of random keys.
-            rank_by = jnp.where(
-                in_pool, jax.random.uniform(k_sub, (gen_cap,)), -jnp.inf
+            # Uniform sample WITH replacement (reference random.py:87 uses
+            # rng.integers over the novel pool, so duplicate proposals are
+            # possible and each is measured); pool rows 0..n_gen-1 are
+            # contiguous by construction.
+            top_idx = jax.random.randint(
+                k_sub, (B,), 0, jnp.maximum(n_gen, 1)
             )
-        _, top_idx = jax.lax.top_k(rank_by, B)
         top_vals = jnp.where(
             in_pool[top_idx], gen_preds[top_idx], -jnp.inf
         )

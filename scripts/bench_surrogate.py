@@ -1,0 +1,151 @@
+"""Fused trained-surrogate benchmark: the paper's CNN experiments on device.
+
+Reproduces the reference's headline empirical-model experiments as single
+device programs and times them:
+
+  * Rosetta 3MSI + CNN surrogate + Adalead (reference
+    paper_code/cloud/runs/rosetta_cnn/adalead_*_cnn.csv — mean max 0.905;
+    round-2 host-loop rebuild: 0.956) at the paper config
+    (10 rounds x batch 100 x 2000 queries), all 5 registry starts.
+  * TF-Bind-8 + 3xCNN ensemble + CMAES (reference runs/cmaes/*_cnn —
+    mean max 0.995 over 27 runs; round-2 host-loop rebuild 0.991).
+
+With --host, also times ONE host-loop (FlaxModel CNN + host Adalead)
+Rosetta run for the fused-vs-host speedup ratio.
+
+Run on the real TPU:  python scripts/bench_surrogate.py
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def bench_rosetta_adalead(starts_n: int, rounds: int, repeat_timed: bool):
+    import flexs_tpu as flexs
+    from flexs_tpu.landscapes import rosetta
+    from flexs_tpu.runtime.jit_runner import DeviceAdaleadNAM
+    from flexs_tpu.runtime.surrogate import SurrogateSpec
+
+    problem = rosetta.registry()["3msi"]
+    landscape = rosetta.RosettaFolding(**problem["params"])
+    starts = list(problem["starts"].items())[:starts_n]
+
+    scores, times = [], []
+    for name, seq in starts:
+        explorer = DeviceAdaleadNAM(
+            landscape,
+            flexs.AAS,
+            rounds=rounds,
+            sequences_batch_size=100,
+            model_queries_per_batch=2000,
+            starting_sequence=seq,
+            model="surrogate",
+            surrogate_spec=SurrogateSpec(),  # CNN_hidden_size_100_num_filters_32
+        )
+        t0 = time.time()
+        df, _ = explorer.run(verbose=False)
+        first = time.time() - t0
+        t0 = time.time()
+        if repeat_timed:
+            df, _ = explorer.run(verbose=False)
+        steady = time.time() - t0 if repeat_timed else first
+        top = df["true_score"].max()
+        scores.append(top)
+        times.append(steady)
+        print(
+            f"  rosetta-cnn-adalead {name}: max {top:.3f} "
+            f"(first {first:.2f}s, steady {steady:.2f}s)"
+        )
+    print(
+        f"rosetta-cnn-adalead mean {np.mean(scores):.3f} best {np.max(scores):.3f} "
+        f"steady {np.mean(times):.2f}s/run  [ref 0.905; host-loop rebuild 0.956]"
+    )
+    return float(np.mean(scores)), float(np.mean(times))
+
+
+def bench_tfbind_cmaes(rounds: int):
+    import flexs_tpu as flexs
+    from flexs_tpu.landscapes import tf_binding
+    from flexs_tpu.runtime.cmaes_runner import DeviceCMAESNAM
+    from flexs_tpu.runtime.surrogate import SurrogateSpec
+
+    scores, times = [], []
+    for lname in ("SIX6_REF_R1", "VAX2_REF_R1"):
+        landscape = flexs.landscapes.TFBinding(name=lname)
+        for start in tf_binding.STARTS[:2]:
+            explorer = DeviceCMAESNAM(
+                landscape,
+                "TGCA",
+                rounds=rounds,
+                sequences_batch_size=100,
+                model_queries_per_batch=2000,
+                starting_sequence=start,
+                maximize=True,
+                model="surrogate",
+                surrogate_spec=SurrogateSpec(ensemble_size=3),
+            )
+            t0 = time.time()
+            df, _ = explorer.run(verbose=False)
+            dt = time.time() - t0
+            top = df["true_score"].max()
+            scores.append(top)
+            times.append(dt)
+            print(f"  tfbind-cmaes-3cnn {lname} {start}: max {top:.3f} ({dt:.2f}s)")
+    print(
+        f"tfbind-cmaes-3cnn mean {np.mean(scores):.3f} "
+        f"({np.mean(times):.2f}s/run)  [ref 0.995; host-loop rebuild 0.991]"
+    )
+    return float(np.mean(scores)), float(np.mean(times))
+
+
+def bench_host_rosetta(rounds: int):
+    import flexs_tpu as flexs
+    from flexs_tpu.baselines.models.cnn import CNN
+    from flexs_tpu.landscapes import rosetta
+
+    problem = rosetta.registry()["3msi"]
+    landscape = rosetta.RosettaFolding(**problem["params"])
+    name, seq = list(problem["starts"].items())[0]
+    model = CNN(len(seq), num_filters=32, hidden_size=100, alphabet=flexs.AAS)
+    explorer = flexs.baselines.explorers.Adalead(
+        model,
+        rounds=rounds,
+        sequences_batch_size=100,
+        model_queries_per_batch=2000,
+        starting_sequence=seq,
+        alphabet=flexs.AAS,
+        seed=0,
+    )
+    t0 = time.time()
+    df, _ = explorer.run(landscape, verbose=False)
+    dt = time.time() - t0
+    print(
+        f"host-loop rosetta-cnn-adalead {name}: max {df['true_score'].max():.3f} "
+        f"({dt:.2f}s)"
+    )
+    return dt
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--starts", type=int, default=5)
+    parser.add_argument("--rounds", type=int, default=10)
+    parser.add_argument("--host", action="store_true", help="also time the host loop")
+    parser.add_argument("--skip-cmaes", action="store_true")
+    args = parser.parse_args()
+
+    mean_r, steady_r = bench_rosetta_adalead(args.starts, args.rounds, True)
+    if not args.skip_cmaes:
+        bench_tfbind_cmaes(args.rounds)
+    if args.host:
+        host_dt = bench_host_rosetta(args.rounds)
+        print(f"fused vs host-loop speedup: {host_dt / steady_r:.1f}x")
+
+
+if __name__ == "__main__":
+    main()
