@@ -48,7 +48,7 @@ def main(argv=None) -> int:
         default="adalead",
         choices=[
             "adalead", "random", "ga", "cmaes", "bo", "dqn", "ppo",
-            "dynappo", "cbas", "dbas",
+            "dynappo", "dynappo_mutative", "cbas", "dbas",
         ],
         help="fused explorer family (adalead uses the shared-table fast "
         "path; the rest go through the generic landscape sweep)",

@@ -201,6 +201,15 @@ def _cell_runner(algorithm: str, algorithm_kwargs: tuple):
         kwargs.setdefault("env_batch_size", 16)
         kwargs.setdefault("num_model_rounds", 1)
         return lambda f, p, s, cfg, ss, k: fn(f, p, s, cfg, ss, k, **kwargs)
+    if algorithm == "dynappo_mutative":
+        from flexs_tpu.runtime.dyna_ppo_mutative_runner import (
+            run_dyna_ppo_mutative_nam as fn,
+        )
+
+        kwargs.setdefault("env_batch_size", 16)
+        kwargs.setdefault("episode_len", 20)
+        kwargs.setdefault("num_model_rounds", 1)
+        return lambda f, p, s, cfg, ss, k: fn(f, p, s, cfg, ss, k, **kwargs)
     if algorithm in ("cbas", "dbas"):
         from flexs_tpu.runtime.cbas_runner import VAEConfig, run_cbas_nam as fn
 

@@ -20,6 +20,10 @@ from flexs_tpu.runtime.dyna_ppo_runner import (  # noqa: F401
     DeviceDynaPPONAM,
     run_dyna_ppo_nam,
 )
+from flexs_tpu.runtime.dyna_ppo_mutative_runner import (  # noqa: F401
+    DeviceDynaPPOMutativeNAM,
+    run_dyna_ppo_mutative_nam,
+)
 from flexs_tpu.runtime.ga_runner import (  # noqa: F401
     DeviceGeneticAlgorithmNAM,
     run_ga_nam,

@@ -1,0 +1,764 @@
+"""Fully-jitted MUTATIVE DyNA-PPO + NoisyAbstractModel runs.
+
+The reference's mutative DynaPPO variant (dyna_ppo.py:322-524) starts each
+episode from a complete sequence and mutates one residue per step until
+the reward stops increasing; the episode's final sequence is recorded, and
+the environment reseeds from the recorded pool's top band.  This runner
+fuses the whole experiment into one device program.
+
+Structure per round (reference dyna_ppo.py:470-524):
+  * experiment phase: episode batches scored on the TRUE landscape until
+    the landscape-cost delta reaches the ANNEALED budget
+    `int((rounds - current_round + 1) / rounds * batch / 2)`
+    (dyna_ppo.py:477-481 — half the proposal budget at round one,
+    linearly interpolated down); ONE PPO training call; the recorded pool
+    is cleared (dyna_ppo.py:494-496);
+  * `num_model_rounds` model phases, each spending
+    `model_queries_per_batch / num_model_rounds` surrogate queries; PPO
+    trains after each; final sequences recorded for proposals;
+  * proposals: top `sequences_batch_size - experiment_budget` recorded
+    sequences by recorded fitness, novel vs measured (dyna_ppo.py:515-524).
+
+Episode semantics (reference environments/dyna_ppo.py:166-336):
+  * action = flat pos * A + res over the full sequence; a no-op action
+    (residue already there) terminates with reward 0 BEFORE any scoring;
+  * otherwise the mutant is scored (1 query: landscape in the experiment
+    phase, model in model phases), recorded in the density cache, and
+    reward = fitness - 0.1 * density(seq) over all seen sequences within
+    Hamming distance 2;
+  * revisiting a sequence within the same episode terminates with
+    reward -1; a reward below the previous step's terminates the episode
+    with that reward; episode reset scores the seed through the MODEL
+    (environments/dyna_ppo.py:243-252 — one model query per episode);
+  * on episode end the env reseeds from a uniform choice over recorded
+    sequences with fitness >= 0.9 * top (dyna_ppo.py:420-446).
+
+Documented deviations (device-shape constraints, same conventions as the
+constructive runner): E lockstep episodes per batch instead of one env
+(reference num_parallel_environments=1), episodes capped at a static
+`episode_len` steps instead of `model_queries_per_batch` (episodes
+terminate by reward decrease long before either cap), and each
+cost-guarded phase collects whole batches into a fixed-capacity
+trajectory buffer (masked rows carry zero training weight).
+
+PPO core matches rl/ppo.py: GAE(0.99, 0.95) with per-step rewards and
+termination masks, advantage normalization, running Welford observation
+normalization, 10 full-batch Adam(3e-4) epochs via chunked gradient
+accumulation.
+"""
+import time
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pandas as pd
+
+from flexs_tpu.alphabet import Alphabet, as_alphabet
+from flexs_tpu.ops import packed_hamming
+from flexs_tpu.rl.ppo import ActorCritic
+from flexs_tpu.runtime import jit_runner
+from flexs_tpu.runtime.jit_runner import (
+    RunResult,
+    _dists_to_cache,
+    _masked_append,
+    device_run_args,
+    fetch_run_result,
+)
+
+_LAM = 0.1  # density penalty (reference environments/dyna_ppo.py:219)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "fitness_fn",
+        "env_batch_size",
+        "episode_len",
+        "num_model_rounds",
+        "train_epochs",
+    ),
+)
+def run_dyna_ppo_mutative_nam(
+    fitness_fn,
+    fitness_params,
+    start_tokens,
+    cfg,
+    signal_strength,
+    key,
+    env_batch_size: int = 16,
+    episode_len: int = 20,
+    num_model_rounds: int = 1,
+    train_epochs: int = 10,
+    learning_rate: float = 3e-4,
+    gamma: float = 0.99,
+    gae_lambda: float = 0.95,
+    clip_eps: float = 0.2,
+    value_coef: float = 0.5,
+    entropy_coef: float = 0.01,
+) -> RunResult:
+    """Run a full mutative DynaPPO + NAM experiment on device."""
+    B = cfg.sequences_batch_size
+    budget = cfg.model_queries_per_batch
+    A = cfg.alphabet_size
+    L = start_tokens.shape[0]
+    R = cfg.rounds
+    E = env_batch_size
+    T = episode_len
+    obs_dim = L * A
+    n_actions = L * A
+    ss = jnp.asarray(signal_strength, jnp.float32)
+
+    # Batch capacity per phase: each episode pays >= 1 model query at
+    # reset, so a batch consumes >= E queries of ITS phase budget except
+    # in the experiment phase (reset charges the model, not the
+    # landscape); +8 covers all-no-op batches there.
+    max_exp_b = -(-(B // 2) // E) + 8
+    phase_budget = budget // num_model_rounds
+    max_model_b = -(-phase_budget // E) + 2
+
+    measured_cap = 1 + R * B + 1
+    # Worst-case cache inserts per round: every reset + every mutation.
+    per_round_q = (max_exp_b + num_model_rounds * max_model_b) * E * (T + 1)
+    cache_cap = 1 + R * per_round_q + B * R + 1
+    den_cap = R * per_round_q + 1
+    gen_cap = (max_exp_b + num_model_rounds * max_model_b) * E + 2
+
+    bits, per_word, words = packed_hamming.packing_spec(L, A)
+
+    def pack(tokens):
+        return packed_hamming.pack_tokens(tokens, A, length=L)
+
+    net = ActorCritic(n_actions, (128,))
+    tx = optax.adam(learning_rate)
+
+    def one_hot_obs(tokens):
+        return jax.nn.one_hot(tokens, A, dtype=jnp.float32).reshape(
+            tokens.shape[0], obs_dim
+        )
+
+    def normalize(obs_stats, obs):
+        count, mean, m2 = obs_stats
+        var = m2 / jnp.maximum(count, 1.0)
+        return (obs - mean) / jnp.sqrt(var + 1e-8)
+
+    # --- NAM query (masked batch; jit_runner semantics + in-batch dedup) ----
+    def nam_query(cache, costs, tokens, mask, key):
+        cache_tokens, cache_pk, cache_vals, cache_truth, n_cache = cache
+        model_cost, landscape_cost = costs
+
+        pk = pack(tokens)
+        dists = _dists_to_cache(pk, cache_pk, n_cache, bits, per_word)
+        min_dist = jnp.min(dists, axis=1)
+        nearest = jnp.argmin(dists, axis=1)
+        cached = min_dist == 0
+
+        eq_self = jnp.all(pk[:, None, :] == pk[None, :, :], axis=-1)
+        masked_eq = eq_self & mask[None, :]
+        first_idx = jnp.argmax(masked_eq, axis=1)
+        first_idx = jnp.where(jnp.any(masked_eq, axis=1), first_idx,
+                              jnp.arange(tokens.shape[0]))
+        dup_earlier = first_idx < jnp.arange(tokens.shape[0])
+
+        signal = fitness_fn(fitness_params, tokens)
+        if cfg.perfect_model:
+            values = jnp.where(cached, cache_vals[nearest], signal)
+        else:
+            key, k_exp, k_choice = jax.random.split(key, 3)
+            expo = jax.random.exponential(k_exp, (tokens.shape[0],))
+            rand_idx = jax.random.randint(
+                k_choice, (tokens.shape[0],), 0, jnp.maximum(n_cache, 1)
+            )
+            neighbor_truth = cache_truth[nearest]
+            noise = jnp.where(
+                neighbor_truth >= 0, expo * neighbor_truth, cache_vals[rand_idx]
+            )
+            alpha = jnp.power(ss, min_dist)
+            values = jnp.where(
+                cached, cache_vals[nearest], alpha * signal + (1 - alpha) * noise
+            )
+        values = jnp.where(dup_earlier, values[first_idx], values)
+
+        insert = mask & ~cached & ~dup_earlier
+        cache_tokens, pos, n_cache, (cache_pk, cache_vals, cache_truth) = (
+            _masked_append(
+                cache_tokens, tokens, n_cache, insert,
+                aux_bufs=(cache_pk, cache_vals, cache_truth),
+                aux_rows=(pk, values, signal),
+            )
+        )
+        model_cost = model_cost + jnp.sum(mask)
+        if not cfg.perfect_model:
+            landscape_cost = landscape_cost + 2 * jnp.sum(insert)
+        return (
+            (cache_tokens, cache_pk, cache_vals, cache_truth, n_cache),
+            (model_cost, landscape_cost),
+            values,
+        )
+
+    def density_of(den_pk, den_fit, n_den, pk):
+        d = _dists_to_cache(pk, den_pk, n_den, bits, per_word)
+        w = jnp.where((d > 0) & (d <= 2), 1.0 / jnp.maximum(d, 1.0), 0.0)
+        return w @ jnp.nan_to_num(den_fit)
+
+    def den_upsert(den_pk, den_fit, n_den, pk, fit, mask):
+        """all_seqs[seq] = fitness for masked rows (last write wins)."""
+        d = _dists_to_cache(pk, den_pk, n_den, bits, per_word)
+        exists = (jnp.min(d, axis=1) == 0)
+        at = jnp.argmin(d, axis=1)
+        upd = exists & mask
+        den_fit = den_fit.at[jnp.where(upd, at, den_pk.shape[0] - 1)].set(
+            jnp.where(upd, fit, den_fit[-1]), mode="drop"
+        )
+        eq = jnp.all(pk[:, None, :] == pk[None, :, :], axis=-1)
+        dup = jnp.any(eq & jnp.tril(jnp.ones_like(eq, dtype=bool), k=-1)
+                      & mask[None, :], axis=1)
+        insert = mask & ~exists & ~dup
+        _, _, n_den, (den_pk2, den_fit2) = _masked_append(
+            jnp.zeros((den_pk.shape[0], 1), jnp.int32), pk[:, :1].astype(jnp.int32),
+            n_den, insert, aux_bufs=(den_pk, den_fit), aux_rows=(pk, fit),
+        )
+        return den_pk2, den_fit2, n_den
+
+    def gen_upsert(gen, pk, tokens, fit, mask):
+        """Recorded-pool upsert: sequences[seq] = fitness (+ tokens)."""
+        gen_pk, gen_fit, n_gen, gen_tokens = gen
+        d = _dists_to_cache(pk, gen_pk, n_gen, bits, per_word)
+        exists = (jnp.min(d, axis=1) == 0)
+        at = jnp.argmin(d, axis=1)
+        upd = exists & mask
+        gen_fit = gen_fit.at[jnp.where(upd, at, gen_pk.shape[0] - 1)].set(
+            jnp.where(upd, fit, gen_fit[-1]), mode="drop"
+        )
+        eq = jnp.all(pk[:, None, :] == pk[None, :, :], axis=-1)
+        dup = jnp.any(eq & jnp.tril(jnp.ones_like(eq, dtype=bool), k=-1)
+                      & mask[None, :], axis=1)
+        insert = mask & ~exists & ~dup
+        gen_tokens2, pos, n_gen, (gen_pk2, gen_fit2) = _masked_append(
+            gen_tokens, tokens, n_gen, insert,
+            aux_bufs=(gen_pk, gen_fit), aux_rows=(pk, fit),
+        )
+        return (gen_pk2, gen_fit2, n_gen, gen_tokens2)
+
+    # --- one lockstep batch of E mutative episodes --------------------------
+    def episode_batch(policy, obs_stats, seeds, cache, costs, den, gt, key):
+        """Returns (trajectory, final tokens/fitness, cache, costs, den, key).
+
+        Trajectory arrays are [T, E]: per-step tokens-before-action are
+        returned as [T, E, L] for training-obs reconstruction.
+        """
+        den_pk, den_fit, n_den = den
+
+        # Episode reset: seed fitness through the MODEL (one model query
+        # per lane, environments/dyna_ppo.py:243-252).
+        key, k_reset = jax.random.split(key)
+        cache, costs, seed_fit = nam_query(
+            cache, costs, seeds, jnp.ones((E,), bool), k_reset
+        )
+
+        # Episode seen-set: only MUTATED states enter (the reset seed is
+        # not a member, environments/dyna_ppo.py:250-252); slot t holds
+        # step t's post-mutation state and membership checks only slots
+        # < t, so the zero-initialized tail can't false-match.
+        ep_pk0 = jnp.zeros((E, T, words), jnp.uint32)
+
+        def step_t(carry, t):
+            (tokens, fitness, prev_reward, alive, ep_pk, cache, costs,
+             den_pk, den_fit, n_den, key) = carry
+
+            obs = one_hot_obs(tokens)
+            logits, value = net.apply(policy, normalize(obs_stats, obs))
+            key, k_act = jax.random.split(key)
+            action = jax.random.categorical(k_act, logits)
+            logp = jax.nn.log_softmax(logits)[jnp.arange(E), action]
+
+            pos = action // A
+            res = action % A
+            noop = tokens[jnp.arange(E), pos] == res
+
+            mutated = tokens.at[jnp.arange(E), pos].set(res)
+            do_score = alive & ~noop
+            new_tokens = jnp.where(do_score[:, None], mutated, tokens)
+            new_pk = pack(new_tokens)
+
+            if gt:
+                fit_q = fitness_fn(fitness_params, new_tokens)
+                model_cost, landscape_cost = costs
+                costs = (model_cost,
+                         landscape_cost + jnp.sum(do_score))
+            else:
+                key, k_nam = jax.random.split(key)
+                cache, costs, fit_q = nam_query(
+                    cache, costs, new_tokens, do_score, k_nam
+                )
+            new_fitness = jnp.where(do_score, fit_q, fitness)
+
+            density = density_of(den_pk, den_fit, n_den, new_pk)
+            den_pk, den_fit, n_den = den_upsert(
+                den_pk, den_fit, n_den, new_pk, new_fitness, do_score
+            )
+
+            reward_val = new_fitness - _LAM * density
+
+            # Seen within this episode? (environments/dyna_ppo.py:325-330)
+            seen = jnp.any(
+                jnp.all(new_pk[:, None, :] == ep_pk, axis=-1)
+                & (jnp.arange(T)[None, :] < t),
+                axis=1,
+            )
+            ep_pk = ep_pk.at[:, t].set(new_pk)
+
+            decreasing = reward_val < prev_reward
+            reward = jnp.where(
+                noop, 0.0, jnp.where(seen, -1.0, reward_val)
+            )
+            done = noop | seen | decreasing
+            valid = alive  # this step is a real training row iff alive
+            new_alive = alive & ~done
+            prev_reward = jnp.where(
+                alive & ~done, reward_val, prev_reward
+            )
+
+            out = (tokens, action, logp, value, reward, valid, done & alive)
+            return (
+                new_tokens, new_fitness, prev_reward, new_alive, ep_pk,
+                cache, costs, den_pk, den_fit, n_den, key,
+            ), out
+
+        init = (
+            seeds, seed_fit, jnp.full((E,), -jnp.inf, jnp.float32),
+            jnp.ones((E,), bool), ep_pk0, cache, costs,
+            den_pk, den_fit, n_den, key,
+        )
+        (final_tokens, final_fit, _, _, _, cache, costs,
+         den_pk, den_fit, n_den, key), traj = jax.lax.scan(
+            step_t, init, jnp.arange(T)
+        )
+        return (traj, final_tokens, final_fit, cache, costs,
+                (den_pk, den_fit, n_den), key)
+
+    # --- PPO training on a fixed-capacity phase buffer ----------------------
+    def ppo_train(policy, opt_state, obs_stats, buf, n_batches):
+        """buf fields are [MB, T, E, ...]; batches >= n_batches weigh 0."""
+        tok_b, act_b, logp_b, val_b, rew_b, valid_b = buf
+        MB = tok_b.shape[0]
+
+        batch_live = (jnp.arange(MB) < n_batches).astype(jnp.float32)
+        valid = valid_b * batch_live[:, None, None]  # [MB, T, E]
+
+        # Masked GAE per lane (per-step rewards; done at the last valid
+        # step of each lane).
+        def lane_gae(vals, rews, valids):
+            def bstep(carry, x):
+                last_adv, next_value = carry
+                v, r, m = x
+                # Reverse walk: at a lane's terminal step (first valid
+                # step seen in reverse) the carry is still (0, 0), so
+                # next_value = 0 — terminal bootstrap falls out for free.
+                delta = r + gamma * next_value - v
+                adv = (delta + gae_lambda * gamma * last_adv) * m
+                return (adv, jnp.where(m > 0, v, next_value)), adv
+
+            (_, _), advs = jax.lax.scan(
+                bstep, (jnp.float32(0.0), jnp.float32(0.0)),
+                (vals, rews, valids), reverse=True,
+            )
+            return advs
+
+        # [MB, T, E] -> [MB*E, T] lanes.
+        def to_lanes(x):
+            return jnp.swapaxes(x, 1, 2).reshape(MB * E, T)
+
+        lane_vals = to_lanes(val_b)
+        lane_rews = to_lanes(rew_b)
+        lane_valid = to_lanes(valid)
+        adv = jax.vmap(lane_gae)(lane_vals, lane_rews, lane_valid)
+        returns = adv + lane_vals
+        total_w = jnp.maximum(jnp.sum(lane_valid), 1.0)
+        mean_adv = jnp.sum(adv * lane_valid) / total_w
+        var_adv = jnp.sum(jnp.square(adv - mean_adv) * lane_valid) / total_w
+        adv = (adv - mean_adv) / (jnp.sqrt(var_adv) + 1e-8)
+
+        lane_tokens = jnp.swapaxes(tok_b, 1, 2).reshape(MB * E, T, L)
+        lane_act = to_lanes(act_b)
+        lane_logp = to_lanes(logp_b)
+
+        total = MB * E * T
+        flat_w = lane_valid.reshape(-1) / total_w
+        flat_act = lane_act.reshape(-1)
+        flat_logp = lane_logp.reshape(-1)
+        flat_adv = (adv * lane_valid).reshape(-1)
+        flat_ret = (returns * lane_valid).reshape(-1)
+        lane_idx = jnp.repeat(jnp.arange(MB * E), T)
+        t_idx = jnp.tile(jnp.arange(T), MB * E)
+
+        chunk = min(2048, total)
+        n_chunks = -(-total // chunk)
+        padded = n_chunks * chunk
+        pad = padded - total
+
+        def pad_to(x, fill=0):
+            return jnp.concatenate(
+                [x, jnp.full((pad,), fill, x.dtype)]
+            ).reshape(n_chunks, chunk)
+
+        c_lane = pad_to(lane_idx)
+        c_t = pad_to(t_idx)
+        c_act = pad_to(flat_act)
+        c_logp = pad_to(flat_logp)
+        c_adv = pad_to(flat_adv)
+        c_ret = pad_to(flat_ret)
+        c_w = pad_to(flat_w)
+
+        def chunk_obs(lane, t):
+            toks = lane_tokens[lane, t]  # [chunk, L]
+            return jax.nn.one_hot(toks, A, dtype=jnp.float32).reshape(
+                chunk, obs_dim
+            )
+
+        def stats_step(stats, xs):
+            lane, t, w = xs
+            obs = chunk_obs(lane, t)
+            count, mean, m2 = stats
+            wm = (w > 0).astype(jnp.float32)[:, None]
+            n_b = jnp.sum(wm)
+            mean_b = jnp.sum(obs * wm, axis=0) / jnp.maximum(n_b, 1)
+            m2_b = jnp.sum(jnp.square(obs - mean_b) * wm, axis=0)
+            delta = mean_b - mean
+            tot = count + n_b
+            mean = mean + delta * n_b / tot
+            m2 = m2 + m2_b + jnp.square(delta) * count * n_b / tot
+            return (tot, mean, m2), None
+
+        obs_stats, _ = jax.lax.scan(stats_step, obs_stats, (c_lane, c_t, c_w))
+
+        def chunk_loss(p, lane, t, act, old_logp, advc, retc, w):
+            obs = normalize(obs_stats, chunk_obs(lane, t))
+            logits, vals = net.apply(p, obs)
+            logp_all = jax.nn.log_softmax(logits)
+            logprob = logp_all[jnp.arange(chunk), act]
+            ratio = jnp.exp(logprob - old_logp)
+            clipped = jnp.clip(ratio, 1 - clip_eps, 1 + clip_eps)
+            policy_loss = -jnp.sum(jnp.minimum(ratio * advc, clipped * advc) * w)
+            value_loss = jnp.sum(jnp.square(vals - retc) * w)
+            probs = jnp.exp(logp_all)
+            entropy = -jnp.sum(jnp.sum(probs * logp_all, axis=1) * w)
+            return policy_loss + value_coef * value_loss - entropy_coef * entropy
+
+        def epoch(carry, _):
+            policy, opt_state = carry
+
+            def acc_step(g_acc, xs):
+                lane, t, act, old_logp, advc, retc, w = xs
+                g = jax.grad(chunk_loss)(
+                    policy, lane, t, act, old_logp, advc, retc, w
+                )
+                return jax.tree.map(jnp.add, g_acc, g), None
+
+            zeros = jax.tree.map(jnp.zeros_like, policy)
+            grads, _ = jax.lax.scan(
+                acc_step, zeros, (c_lane, c_t, c_act, c_logp, c_adv, c_ret, c_w)
+            )
+            updates, opt_state = tx.update(grads, opt_state, policy)
+            return (optax.apply_updates(policy, updates), opt_state), None
+
+        (policy, opt_state), _ = jax.lax.scan(
+            epoch, (policy, opt_state), None, length=train_epochs
+        )
+        return policy, opt_state, obs_stats
+
+    # --- a cost-guarded phase -----------------------------------------------
+    def run_phase(state, max_batches: int, gt: bool, phase_budget_t, key):
+        """Collect episode batches until the phase budget, then train."""
+        (policy, opt_state, obs_stats, cache, costs, den, gen, seeds) = state
+
+        buf = (
+            jnp.zeros((max_batches, T, E, L), jnp.int32),
+            jnp.zeros((max_batches, T, E), jnp.int32),
+            jnp.zeros((max_batches, T, E), jnp.float32),
+            jnp.zeros((max_batches, T, E), jnp.float32),
+            jnp.zeros((max_batches, T, E), jnp.float32),
+            jnp.zeros((max_batches, T, E), jnp.float32),
+        )
+        start_cost = costs[1] if gt else costs[0]
+
+        def cond(carry):
+            it, _, _, costs, _, _, _, _ = carry
+            cur = costs[1] if gt else costs[0]
+            return (cur - start_cost < phase_budget_t) & (it < max_batches)
+
+        def body(carry):
+            it, buf, cache, costs, den, gen, seeds, key = carry
+            key, k_ep = jax.random.split(key)
+            (traj, final_tokens, final_fit, cache, costs, den, key) = (
+                episode_batch(policy, obs_stats, seeds, cache, costs, den,
+                              gt, k_ep)
+            )
+            tokens_t, act_t, logp_t, val_t, rew_t, valid_t, _term_t = traj
+            buf = (
+                buf[0].at[it].set(tokens_t),
+                buf[1].at[it].set(act_t),
+                buf[2].at[it].set(logp_t),
+                buf[3].at[it].set(val_t),
+                buf[4].at[it].set(rew_t),
+                buf[5].at[it].set(valid_t.astype(jnp.float32)),
+            )
+            # Record final sequences; reseed from the >= 0.9*top band
+            # (dyna_ppo.py:420-446).
+            gen = gen_upsert(gen, pack(final_tokens), final_tokens,
+                             final_fit, jnp.ones((E,), bool))
+            gen_pk, gen_fit, n_gen, gen_tokens = gen
+            live = jnp.arange(gen_cap) < n_gen
+            top = jnp.max(jnp.where(live, gen_fit, -jnp.inf))
+            band = live & (gen_fit >= 0.9 * top)
+            n_band = jnp.maximum(jnp.sum(band.astype(jnp.int32)), 1)
+            ranks = jnp.cumsum(band.astype(jnp.int32)) - 1
+            pos_of_rank = jnp.zeros((gen_cap,), jnp.int32).at[
+                jnp.where(band, ranks, gen_cap - 1)
+            ].set(jnp.arange(gen_cap, dtype=jnp.int32), mode="drop")
+            key, k_seed = jax.random.split(key)
+            pick = jax.random.randint(k_seed, (E,), 0, n_band)
+            seeds = gen_tokens[pos_of_rank[pick]]
+            return (it + 1, buf, cache, costs, den, gen, seeds, key)
+
+        (n_b, buf, cache, costs, den, gen, seeds, key) = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), buf, cache, costs, den, gen, seeds, key),
+        )
+        policy, opt_state, obs_stats = ppo_train(
+            policy, opt_state, obs_stats, buf, n_b
+        )
+        return (policy, opt_state, obs_stats, cache, costs, den, gen,
+                seeds), key
+
+    # --- initial state -------------------------------------------------------
+    start_truth = fitness_fn(fitness_params, start_tokens[None])[0]
+
+    measured_tokens = jnp.zeros((measured_cap, L), jnp.int32).at[0].set(start_tokens)
+    measured_truth = (
+        jnp.full((measured_cap,), -jnp.inf, jnp.float32).at[0].set(start_truth)
+    )
+    n_measured = jnp.int32(1)
+
+    cache_tokens = jnp.zeros((cache_cap, L), jnp.int32).at[0].set(start_tokens)
+    cache_pk0 = jnp.zeros((cache_cap, words), jnp.uint32).at[0].set(
+        pack(start_tokens[None])[0]
+    )
+    cache_vals = jnp.zeros((cache_cap,), jnp.float32).at[0].set(start_truth)
+    cache_truth = jnp.zeros((cache_cap,), jnp.float32).at[0].set(start_truth)
+    cache = (cache_tokens, cache_pk0, cache_vals, cache_truth, jnp.int32(1))
+
+    den = (
+        jnp.zeros((den_cap, words), jnp.uint32),
+        jnp.zeros((den_cap,), jnp.float32),
+        jnp.int32(0),
+    )
+
+    key, init_key = jax.random.split(key)
+    policy = net.init(init_key, jnp.zeros((1, obs_dim), jnp.float32))
+    opt_state = tx.init(policy)
+    obs_stats = (
+        jnp.float32(1e-4),
+        jnp.zeros((obs_dim,), jnp.float32),
+        jnp.ones((obs_dim,), jnp.float32),
+    )
+
+    def round_body(carry, r):
+        (
+            measured_tokens,
+            measured_truth,
+            n_measured,
+            policy,
+            opt_state,
+            obs_stats,
+            cache,
+            costs,
+            den,
+            seeds,
+            key,
+        ) = carry
+
+        # Annealed experiment budget (dyna_ppo.py:477-481): current_round
+        # at proposal time is r (0-based) = rounds already measured - 1.
+        exp_budget = ((R - r) * (B // 2)) // R
+
+        empty_gen = (
+            jnp.zeros((gen_cap, words), jnp.uint32),
+            jnp.full((gen_cap,), -jnp.inf, jnp.float32),
+            jnp.int32(0),
+            jnp.zeros((gen_cap, L), jnp.int32),
+        )
+
+        state = (policy, opt_state, obs_stats, cache, costs, den, empty_gen,
+                 seeds)
+        key, k1 = jax.random.split(key)
+        state, key = run_phase(state, max_exp_b, True, exp_budget, k1)
+        # Recorded pool cleared after the experiment phase
+        # (dyna_ppo.py:494-496) — replaced with a fresh one.
+        state = state[:6] + (empty_gen, state[7])
+        for _ph in range(num_model_rounds):
+            key, k2 = jax.random.split(key)
+            state, key = run_phase(
+                state, max_model_b, False, phase_budget, k2
+            )
+        (policy, opt_state, obs_stats, cache, costs, den, gen, seeds) = state
+        gen_pk, gen_fit, n_gen, gen_tokens = gen
+
+        # Top (B - exp_budget) recorded novel sequences (dyna_ppo.py:515-524).
+        meas_pk = pack(measured_tokens)
+        d = packed_hamming.packed_hamming_matrix(gen_pk, meas_pk, bits, per_word)
+        d = jnp.where(jnp.arange(measured_cap)[None, :] < n_measured, d, 10**6)
+        novel = (jnp.min(d, axis=1) > 0) & (jnp.arange(gen_cap) < n_gen)
+        masked_fit = jnp.where(novel, gen_fit, -jnp.inf)
+        top_vals, top_idx = jax.lax.top_k(masked_fit, B)
+        valid = jnp.isfinite(top_vals) & (
+            jnp.arange(B) < jnp.maximum(B - exp_budget, 0)
+        )
+        proposals = gen_tokens[top_idx]
+        truth = jnp.where(valid, fitness_fn(fitness_params, proposals), -jnp.inf)
+        model_cost, landscape_cost = costs
+        landscape_cost = landscape_cost + jnp.sum(valid)
+
+        measured_tokens, _, n_measured, (measured_truth,) = _masked_append(
+            measured_tokens, proposals, n_measured, valid,
+            aux_bufs=(measured_truth,), aux_rows=(truth,),
+        )
+
+        out = (proposals, top_vals, truth, valid, model_cost, landscape_cost)
+        return (
+            measured_tokens,
+            measured_truth,
+            n_measured,
+            policy,
+            opt_state,
+            obs_stats,
+            cache,
+            (model_cost, landscape_cost),
+            den,
+            seeds,
+            key,
+        ), out
+
+    init = (
+        measured_tokens,
+        measured_truth,
+        n_measured,
+        policy,
+        opt_state,
+        obs_stats,
+        cache,
+        (jnp.int32(0), jnp.int32(1)),
+        den,
+        jnp.broadcast_to(start_tokens, (E, L)),
+        key,
+    )
+    _, outs = jax.lax.scan(round_body, init, jnp.arange(R))
+    return RunResult(*outs, start_truth=start_truth)
+
+
+class DeviceDynaPPOMutativeNAM:
+    """(df, metadata) wrapper over `run_dyna_ppo_mutative_nam`."""
+
+    def __init__(
+        self,
+        landscape,
+        alphabet,
+        rounds: int,
+        sequences_batch_size: int,
+        model_queries_per_batch: int,
+        starting_sequence: str,
+        env_batch_size: int = 16,
+        episode_len: int = 20,
+        num_model_rounds: int = 1,
+        train_epochs: int = 10,
+        signal_strength: float = 0.9,
+        model: str = "nam",
+        seed: int = 0,
+    ):
+        """Create the fused mutative DynaPPO runner for `landscape`."""
+        if model not in ("nam", "perfect"):
+            raise ValueError("model must be 'nam' or 'perfect'")
+        self.landscape = landscape
+        self.alphabet: Alphabet = as_alphabet(alphabet)
+        self.starting_sequence = starting_sequence
+        self.signal_strength = 1.0 if model == "perfect" else signal_strength
+        self.env_batch_size = env_batch_size
+        self.episode_len = episode_len
+        self.num_model_rounds = num_model_rounds
+        self.train_epochs = train_epochs
+        self.seed = seed
+        self.name = f"DeviceDynaPPOMutative_Agent_10_{num_model_rounds}"
+        self.model_name = (
+            f"LandscapeAsModel={landscape.name}"
+            if model == "perfect"
+            else f"NAMb_ss{signal_strength}"
+        )
+        self.cfg = jit_runner.AdaleadConfig(
+            rounds=rounds,
+            sequences_batch_size=sequences_batch_size,
+            model_queries_per_batch=model_queries_per_batch,
+            alphabet_size=len(self.alphabet),
+            perfect_model=(model == "perfect"),
+        )
+        self._fitness_fn, self._fitness_params = landscape.device_fitness()
+
+    def run(self, verbose: bool = True) -> Tuple[pd.DataFrame, dict]:
+        """Execute the fused mutative DynaPPO experiment."""
+        start_time = time.time()
+        start_tokens, ss, key = device_run_args(
+            self.alphabet.letters, self.starting_sequence,
+            float(self.signal_strength), self.seed,
+        )
+        result = run_dyna_ppo_mutative_nam(
+            self._fitness_fn,
+            self._fitness_params,
+            start_tokens,
+            self.cfg,
+            ss,
+            key,
+            env_batch_size=self.env_batch_size,
+            episode_len=self.episode_len,
+            num_model_rounds=self.num_model_rounds,
+            train_epochs=self.train_epochs,
+        )
+        result = fetch_run_result(result)
+        self.landscape.add_cost(int(result.landscape_cost[-1]))
+
+        rows = {
+            "sequence": [self.starting_sequence],
+            "model_score": [np.nan],
+            "true_score": [float(result.start_truth)],
+            "round": [0],
+            "model_cost": [0],
+            "measurement_cost": [1],
+        }
+        measured = 1
+        for r in range(self.cfg.rounds):
+            valid = result.proposal_valid[r]
+            seqs = self.alphabet.decode(result.proposal_tokens[r][valid])
+            measured += len(seqs)
+            rows["sequence"].extend(seqs)
+            rows["model_score"].extend(result.proposal_preds[r][valid].tolist())
+            rows["true_score"].extend(result.proposal_truth[r][valid].tolist())
+            rows["round"].extend([r + 1] * len(seqs))
+            rows["model_cost"].extend([int(result.model_cost[r])] * len(seqs))
+            rows["measurement_cost"].extend([measured] * len(seqs))
+        df = pd.DataFrame(rows)
+
+        metadata = {
+            "exp_name": self.name,
+            "model_name": self.model_name,
+            "landscape_name": self.landscape.name,
+            "rounds": self.cfg.rounds,
+            "sequences_batch_size": self.cfg.sequences_batch_size,
+            "model_queries_per_batch": self.cfg.model_queries_per_batch,
+        }
+        if verbose:
+            print(
+                f"device DynaPPOMutative run: top {df['true_score'].max():.4f}, "
+                f"time {time.time() - start_time:.3f}s"
+            )
+        return df, metadata
