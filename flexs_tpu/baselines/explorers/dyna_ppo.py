@@ -53,16 +53,17 @@ from flexs_tpu.utils import sequence_utils as s_utils
 
 
 def tpu_native_default_models(seq_len: int, alphabet: str) -> List[Model]:
-    """The 11 default ensemble members with device-side equivalents.
+    """The 11 default ensemble members, ALL with device-side equivalents.
 
-    Eight of the reference's eleven members (dyna_ppo.py:51-85) train and
-    predict entirely on device here: the three Flax nets plus exact JAX
+    All eleven of the reference's members (dyna_ppo.py:51-85) train and
+    predict on device here: the three Flax nets, exact JAX
     re-implementations of linear regression, k-NN, Lasso, BayesianRidge,
-    and the Gaussian process (see jax_linear.py / jax_gp.py for the
-    sklearn-parity contracts).  The three tree ensembles (random forest,
-    gradient boosting, extra trees) stay sklearn on the host — recursive
-    axis-aligned splits are a poor fit for the MXU and train in
-    milliseconds at FLEXS measured-set sizes.
+    and the Gaussian process (jax_linear.py / jax_gp.py for the
+    sklearn-parity contracts), and — since round 3 — the three tree
+    ensembles as level-wise MXU-histogram trees (jax_trees.py: on
+    flattened one-hot features every split threshold is 0.5, so exact
+    greedy split-finding is one matmul per level; agreement vs sklearn
+    pinned in tests/test_jax_trees.py).
     """
     return [
         baselines.models.GlobalEpistasisModel(seq_len, 100, alphabet),
@@ -71,19 +72,13 @@ def tpu_native_default_models(seq_len: int, alphabet: str) -> List[Model]:
         baselines.models.JaxRidgeRegression(
             alphabet, alpha=0.0, name="linear_regression"
         ),
-        baselines.models.RandomForest(alphabet),
+        baselines.models.JaxRandomForest(alphabet),
         baselines.models.JaxKNNRegressor(alphabet),
         baselines.models.JaxLasso(alphabet),
         baselines.models.JaxBayesianRidge(alphabet),
         baselines.models.JaxGaussianProcessRegressor(alphabet),
-        baselines.models.SklearnRegressor(
-            sklearn.ensemble.GradientBoostingRegressor(),
-            alphabet,
-            "gradient_boosting",
-        ),
-        baselines.models.SklearnRegressor(
-            sklearn.tree.ExtraTreeRegressor(), alphabet, "extra_trees"
-        ),
+        baselines.models.JaxGradientBoosting(alphabet),
+        baselines.models.JaxExtraTree(alphabet),
     ]
 
 

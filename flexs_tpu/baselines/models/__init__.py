@@ -12,6 +12,11 @@ from flexs_tpu.baselines.models.jax_gp import (  # noqa: F401
     JaxGaussianProcessRegressor,
     JaxKNNRegressor,
 )
+from flexs_tpu.baselines.models.jax_trees import (  # noqa: F401
+    JaxExtraTree,
+    JaxGradientBoosting,
+    JaxRandomForest,
+)
 from flexs_tpu.baselines.models.jax_linear import (  # noqa: F401
     JaxBayesianRidge,
     JaxLasso,

@@ -189,6 +189,160 @@ def _duplex_kernel(
     out_ref[0] = jnp.broadcast_to(result, (sublanes, 128))
 
 
+def _duplex_kernel_v4(
+    recs_ref, tbl_ref, row0_ref, rowl_ref, icost_ref, bseq_ref, btgt_ref,
+    out_ref, win_c, win_ca, win_cw, best, chan_buf, *, d, l1, l2, k_block
+):
+    """v4: channel expansion batched over `k_block`-row blocks.
+
+    The round-3 scaling profile (BASELINE.md) showed v3's ~4 us/row is
+    NOT VPU op count (time is flat in maxloop: 42.7 ms at maxloop=4 vs
+    45.1 at 16 for the same shapes) — it is the per-row [S,128]@[128,9*L2p]
+    f32-HIGHEST matmul issued serially inside the row loop: ~54 dependent
+    MXU passes per row that never pipeline across iterations.  v4 hoists
+    the expansion out of the serial chain: one [K*S, 128] @ [128, 9*L2p]
+    matmul per K-row block fills a VMEM scratch (`chan_buf`), the MXU
+    pipelines its tiles back-to-back, and the DP rows read their channels
+    from scratch.  Bit-exactness is preserved (same operand construction,
+    same HIGHEST-precision dot — only the batching changes).
+
+    Rows >= l1 (block padding) are masked out of the best/window updates.
+    """
+    sublanes = win_c.shape[1]
+    l2p = win_c.shape[2]
+    maxloop = d - 2
+    n_blocks = recs_ref.shape[1] // k_block
+
+    win_c[...] = jnp.full(win_c.shape, _INF, jnp.float32)
+    win_ca[...] = jnp.full(win_ca.shape, _INF, jnp.float32)
+    win_cw[...] = jnp.full(win_cw.shape, _INF, jnp.float32)
+    best[...] = jnp.full(best.shape, _INF, jnp.float32)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (sublanes, l2p), 1)
+
+    def shift_right(rows, k):
+        rolled = pltpu.roll(rows, k, axis=1)
+        return jnp.where(col < k, _INF, rolled)
+
+    interior_combos = [
+        (r, dj)
+        for dj in range(2, d)
+        for r in range(1, d - 1)
+        if (r + dj - 1) <= maxloop and not (r == 1 and dj == 2)
+    ]
+
+    rec_col3 = jax.lax.broadcasted_iota(
+        jnp.int32, (k_block, sublanes, _REC), 2
+    )
+
+    def block_body(b, _):
+        i0 = b * k_block
+        recs = recs_ref[0, pl.ds(i0, k_block)]  # [K, S, 4]
+        idx3 = recs[:, :, 0:1]
+        idx2 = recs[:, :, 1:2]
+        m3 = (rec_col3 < 64) & (rec_col3.astype(jnp.float32) == idx3)
+        m2 = (rec_col3 >= 64) & (rec_col3 < 80) & (
+            (rec_col3 - 64).astype(jnp.float32) == idx2
+        )
+        operand = jnp.where(m3 | m2, 1.0, 0.0).reshape(
+            k_block * sublanes, _REC
+        )
+        # ONE pipelined MXU matmul per block (see docstring; HIGHEST for
+        # the bit-exactness contract, as in v3).
+        chan_buf[...] = jax.lax.dot_general(
+            operand,
+            tbl_ref[...],
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+        def row_body(k, _):
+            i = i0 + k
+            rec = recs_ref[0, i]  # [S, 4] (ref read: dynamic index OK)
+            rows = chan_buf[pl.ds(k * sublanes, sublanes)]  # [S, 9*l2p]
+
+            def chan(c):
+                return rows[:, c * l2p:(c + 1) * l2p]
+
+            open_e = chan(_OPEN)
+            open_e = jnp.where(i == 0, row0_ref[0], open_e)
+            open_e = jnp.where(col == 0, rec[:, 2:3], open_e)
+            close_e = chan(_CLOSE)
+            close_e = jnp.where(i == l1 - 1, rowl_ref[0], close_e)
+            close_e = jnp.where(col == l2 - 1, rec[:, 3:4], close_e)
+
+            acc = jnp.minimum(open_e, shift_right(win_c[0], 1) + chan(_STACK))
+            acc = jnp.minimum(acc, shift_right(win_c[1], 1) + chan(_B1S))
+            acc = jnp.minimum(acc, shift_right(win_c[0], 2) + chan(_B1T))
+            acc = jnp.minimum(acc, shift_right(win_c[1], 2) + chan(_I11))
+
+            loop_min = None
+            for dj in range(2, d):
+                col_min = None
+                for r, dj2 in interior_combos:
+                    if dj2 != dj:
+                        continue
+                    cand = win_ca[r] + icost_ref[r + 1, dj]
+                    col_min = (
+                        cand if col_min is None else jnp.minimum(col_min, cand)
+                    )
+                if col_min is None:
+                    continue
+                shifted = shift_right(col_min, dj)
+                loop_min = (
+                    shifted if loop_min is None
+                    else jnp.minimum(loop_min, shifted)
+                )
+            acc = jnp.minimum(acc, loop_min + chan(_MB))
+
+            au_e = chan(_AU)
+            bs_min = None
+            for r in range(2, maxloop + 1):
+                cand = win_cw[r] + bseq_ref[r]
+                bs_min = cand if bs_min is None else jnp.minimum(bs_min, cand)
+            acc = jnp.minimum(acc, shift_right(bs_min, 1) + au_e)
+            bt_min = None
+            for dj in range(3, maxloop + 2):
+                cand = shift_right(win_cw[0], dj) + btgt_ref[dj]
+                bt_min = cand if bt_min is None else jnp.minimum(bt_min, cand)
+            acc = jnp.minimum(acc, bt_min + au_e)
+
+            acc = jnp.where(open_e >= _INF / 2, _INF, acc)
+
+            # Padded rows (i >= l1) must not touch best or the windows.
+            valid = i < l1
+            new_best = jnp.minimum(
+                best[...], jnp.min(acc + close_e, axis=1, keepdims=True)
+            )
+            best[...] = jnp.where(valid, new_best, best[...])
+            win_c[...] = jnp.where(
+                valid,
+                jnp.concatenate([acc[None], win_c[: d - 2]], axis=0),
+                win_c[...],
+            )
+            win_ca[...] = jnp.where(
+                valid,
+                jnp.concatenate([(acc + chan(_MA))[None], win_ca[: d - 2]],
+                                axis=0),
+                win_ca[...],
+            )
+            win_cw[...] = jnp.where(
+                valid,
+                jnp.concatenate([(acc + au_e)[None], win_cw[: d - 2]], axis=0),
+                win_cw[...],
+            )
+            return 0
+
+        jax.lax.fori_loop(0, k_block, row_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, block_body, 0)
+
+    result = jnp.where(best[...] >= _INF / 2, 0.0, best[...])
+    out_ref[0] = jnp.broadcast_to(result, (sublanes, 128))
+
+
 def _contracted_tables(target_rev, em, l2p):
     """Target-contracted gram-pair tables f32[128, 9*l2p] + row patches.
 
@@ -290,9 +444,12 @@ def _records_and_patches(seq_tokens, target_rev, em, l2p):
     return rec, open_row0, close_rowl
 
 
-@partial(jax.jit, static_argnames=("maxloop", "interpret", "group"))
+@partial(jax.jit,
+         static_argnames=("maxloop", "interpret", "group", "block_rows"))
 def _pallas_duplex_batch(seq_tokens, target_rev, em, maxloop: int,
-                         interpret: bool, group: int = SUBLANES):
+                         interpret: bool, group: int = SUBLANES,
+                         block_rows: int = 10):
+    """`block_rows > 0` selects the v4 blocked-expansion kernel; 0 = v3."""
     d = maxloop + 2
     b, l1 = seq_tokens.shape
     l2 = target_rev.shape[0]
@@ -311,16 +468,43 @@ def _pallas_duplex_batch(seq_tokens, target_rev, em, maxloop: int,
     # [B, L1, 4] -> [G, L1, S, 4]: program g owns sequences
     # g*S .. g*S+S-1 as sublanes of each row record.
     rec = rec.reshape(groups, group, l1, 4).transpose(0, 2, 1, 3)
+    l1p = l1
+    if block_rows > 0:
+        # Pad the row axis to whole blocks (padded rows are masked out of
+        # the DP inside the kernel).
+        l1p = -(-l1 // block_rows) * block_rows
+        if l1p != l1:
+            rec = jnp.pad(rec, [(0, 0), (0, l1p - l1), (0, 0), (0, 0)])
     open_row0 = open_row0.reshape(groups, group, l2p)
     close_rowl = close_rowl.reshape(groups, group, l2p)
 
     bulge_seq, bulge_tgt = em["bulge_seq"], em["bulge_tgt"]
 
+    if block_rows > 0:
+        kernel = partial(
+            _duplex_kernel_v4, d=d, l1=l1, l2=l2, k_block=block_rows
+        )
+        scratch = [
+            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
+            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
+            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
+            pltpu.VMEM((group, 1), jnp.float32),
+            pltpu.VMEM((block_rows * group, _N_SLABS * l2p), jnp.float32),
+        ]
+    else:
+        kernel = partial(_duplex_kernel, d=d, l1=l1, l2=l2)
+        scratch = [
+            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
+            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
+            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
+            pltpu.VMEM((group, 1), jnp.float32),
+        ]
+
     out = pl.pallas_call(
-        partial(_duplex_kernel, d=d, l1=l1, l2=l2),
+        kernel,
         grid=(groups,),
         in_specs=[
-            pl.BlockSpec((1, l1, group, 4), lambda g: (g, 0, 0, 0)),
+            pl.BlockSpec((1, l1p, group, 4), lambda g: (g, 0, 0, 0)),
             pl.BlockSpec((_REC, _N_SLABS * l2p), lambda g: (0, 0)),
             pl.BlockSpec((1, group, l2p), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, group, l2p), lambda g: (g, 0, 0)),
@@ -330,12 +514,7 @@ def _pallas_duplex_batch(seq_tokens, target_rev, em, maxloop: int,
         ],
         out_specs=pl.BlockSpec((1, group, 128), lambda g: (g, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((groups, group, 128), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
-            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
-            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
-            pltpu.VMEM((group, 1), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(rec, tbl, open_row0, close_rowl, em["interior_cost"], bulge_seq,
       bulge_tgt)

@@ -159,13 +159,26 @@ def run_cbas_nam(
         )
         w = pool_w[:pool_cap] * (jnp.arange(pool_cap) < n_train)
 
+        # Keras runs ceil(n_train / bs) steps per epoch; the pool buffer
+        # is mostly padding early on (n_pool starts at ~100 of pool_cap
+        # slots), so order training rows FIRST (random among themselves,
+        # zero-weight padding last) and loop only over the live batches —
+        # a dynamic fori_loop bound, not a full-capacity scan.  This is
+        # the round-3 CbAS latency fix: the old full-cap scan made every
+        # epoch cost pool_cap/bs sequential steps regardless of fill.
+        n_live = jnp.maximum(
+            (jnp.sum((w > 0).astype(jnp.int32)) + bs - 1) // bs, 1
+        )
+
         def epoch(variables, opt_state, key):
             key, pkey = jax.random.split(key)
-            perm = jax.random.permutation(pkey, pool_cap)
-            batches = perm.reshape(num_batches, bs)
+            rand = jax.random.uniform(pkey, (pool_cap,))
+            order = jnp.argsort(jnp.where(w > 0, rand, 2.0))
+            batches = order.reshape(num_batches, bs)
 
-            def step(carry, idx):
-                variables, opt_state, key = carry
+            def step(i, carry):
+                variables, opt_state, key, loss_sum = carry
+                idx = batches[i]
                 key, rng = jax.random.split(key)
                 (loss, new_stats), grads = jax.value_and_grad(
                     vae_loss, has_aux=True
@@ -178,12 +191,13 @@ def run_cbas_nam(
                     {"params": params, "batch_stats": new_stats},
                     opt_state,
                     key,
-                ), loss
+                    loss_sum + loss,
+                )
 
-            (variables, opt_state, _), losses = jax.lax.scan(
-                step, (variables, opt_state, key), batches
+            variables, opt_state, _, loss_sum = jax.lax.fori_loop(
+                0, n_live, step, (variables, opt_state, key, jnp.float32(0.0))
             )
-            return variables, opt_state, jnp.mean(losses)
+            return variables, opt_state, loss_sum / n_live.astype(jnp.float32)
 
         def cond(state):
             _, _, _, _, patience, e = state
