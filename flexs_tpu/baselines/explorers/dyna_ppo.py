@@ -92,13 +92,15 @@ class DynaPPOEnsemble(Model):
         r_squared_threshold: float = 0.5,
         models: Optional[List[Model]] = None,
         seed: int = 0,
-        tpu_native_members: bool = False,
+        tpu_native_members: bool = True,
     ):
         """Create the ensemble (the reference's 11 default members).
 
-        `tpu_native_members=True` swaps the sklearn kernel/linear members
-        for their device-side JAX equivalents (tpu_native_default_models);
-        the default stays byte-faithful to the reference's sklearn stack.
+        The default members are the device-side JAX equivalents
+        (tpu_native_default_models — all 11 on device since round 3);
+        `tpu_native_members=False` restores the reference's byte-faithful
+        sklearn stack (agreement between the two is pinned per member in
+        tests/test_jax_trees.py, test_jax_gp.py, test_models.py).
         """
         super().__init__(name="DynaPPOEnsemble")
 
