@@ -4,16 +4,14 @@ The XLA path (flexs_tpu/ops/rna_duplex.py) expresses the recursion as a
 `lax.scan` over pre-expanded per-cell energy slabs.  Profiling on the TPU
 (scripts/profile_duplex.py) showed that at L100 the slab EXPANSION — the
 one-hot matmuls materializing f32[B, L1, 9, L2] in HBM — costs ~9x the DP
-itself, so v3 moves the expansion INSIDE the kernel:
+itself, so the kernel moves the expansion INSIDE:
 
-  * grid = (batch_groups,): one program per `group` sequences (default 64
-    sublanes); the row loop is a `fori_loop` in the kernel;
-  * each program receives its group's COMPACT record block
-    f32[L1, S, 4] (per row: seq trigram index, forward-bigram index, and
-    the two boundary-column patch energies) as one auto-blocked VMEM
-    copy — ~900x less HBM traffic than the v2 slabs.  Profiling showed
-    materializing the one-hots in HBM was itself ~70% of a first v3 cut,
-    so the [S, 128] one-hot operand is built per row on the VPU by an
+  * grid = (batch_groups,): one program per `k_groups` sublane-groups of
+    `group` sequences; each group's DP rows are walked by a `fori_loop`;
+  * each program receives its groups' COMPACT record block
+    f32[K, L1, S, 4] (per row: seq trigram index, forward-bigram index,
+    and the two boundary-column patch energies) as one auto-blocked VMEM
+    copy; the [S, 128] one-hot operand is built per row on the VPU by an
     iota-compare;
   * the 9 per-cell energy channels are produced by ONE MXU matmul
     [S, 128] @ [128, 9*L2p] against gram-pair tables pre-contracted over
@@ -21,17 +19,28 @@ itself, so v3 moves the expansion INSIDE the kernel:
     rows 64:80 = forward-bigram terms, rows 80:128 = zeros so the patch
     lanes contribute nothing).  One-hot selection by matmul is EXACT in
     f32 (each output is one table value plus zeros; the +inf sentinel is
-    the finite rd._INF), so v3 is bit-identical to the XLA slab path;
+    the finite rd._INF), so the kernel is bit-identical to the XLA slab
+    path;
   * duplex-end boundary patches (reference rna.py duplexfold end terms;
-    see rd.build_slabs' patch block) are applied in-kernel: full-row
-    patches at i=0 / i=L1-1 from VMEM-resident [S, L2p] inputs, lane-0 /
-    lane-(L2-1) patches from the record's two patch lanes;
+    see rd.build_slabs' patch block) are applied in-kernel;
   * the three [D-1, S, L2p] DP window channels live in VMEM scratch
-    across rows; scalar size-cost tables sit in SMEM.
+    across rows; scalar size-cost tables sit in SMEM;
+  * the per-sequence best is accumulated PER LANE across rows (one
+    elementwise min per row) and lane-reduced ONCE per group — v3 ran a
+    cross-lane min reduction every row, the one operation every round-3
+    deletion experiment had left untouched.
+
+Round-3 A/B profile history (BASELINE.md has the numbers): per-row cost
+was shown INVARIANT to maxloop (op count), to batching the channel
+matmul over row blocks (a v4 variant, since removed), to group width
+64/128/256, to grid-step count (8 -> 2 steps at B512: no change), to the
+dynamic record read, and to windows living in scratch vs loop carry.
+Total time fits `2.8 ms + ~100 ns * B * L1` across every layout.
 
 `duplex_energy_batch_pallas` matches `rna_duplex.duplex_energy_batch`
-numerically (tests/test_pallas_duplex.py); `interpret=True` is selected
-automatically off-TPU so the kernel stays testable on the CPU mesh.
+numerically (tests/test_pallas_duplex.py; re-verified compiled on every
+`bench.py` run); `interpret=True` is selected automatically off-TPU so
+the kernel stays testable on the CPU mesh.
 """
 from functools import partial
 
@@ -48,7 +57,7 @@ _INF = rd._INF
 _OPEN, _STACK, _B1S, _B1T, _I11, _MB, _MA, _AU, _CLOSE = range(9)
 _N_SLABS = 9
 
-SUBLANES = 64  # sequences per program instance (8 VPU sublane tiles deep)
+SUBLANES = 64  # sequences per sublane group (8 VPU sublane tiles deep)
 _REC = 128  # one-hot operand lanes: 64 trigram, 16 bigram, 48 zero-pad
 
 # Per-channel pad value for lanes beyond L2: path terms admit no duplex
@@ -56,20 +65,19 @@ _REC = 128  # one-hot operand lanes: 64 trigram, 16 bigram, 48 zero-pad
 _PAD_VALS = (_INF, _INF, _INF, _INF, _INF, 0.0, 0.0, 0.0, 0.0)
 
 
-def _duplex_kernel(
-    recs_ref, tbl_ref, row0_ref, rowl_ref, icost_ref, bseq_ref, btgt_ref,
-    out_ref, win_c, win_ca, win_cw, best, *, d, l1, l2
+def _duplex_group_body(
+    j, recs_ref, tbl_ref, row0_ref, rowl_ref, icost_ref, bseq_ref, btgt_ref,
+    out_ref, win_c, win_ca, win_cw, *, d, l1, l2
 ):
-    """One program per sublane group; rows walked by a fori_loop.
+    """Full DP for group slot `j` of this program's block.
 
-    recs_ref: VMEM f32[1, L1, S, 4] — the whole group's compact row
-    records (trigram index, bigram index, two boundary patches) arrive
-    as ONE auto-blocked copy; the one-hot operands are expanded on the
-    VPU per row.
+    recs_ref: VMEM f32[1, K, L1, S, 4] compact row records (trigram
+    index, bigram index, two boundary patch energies).
     tbl_ref: VMEM f32[128, 9*L2p] target-contracted gram-pair tables.
-    row0/rowl: VMEM f32[1, S, L2p] full-row OPEN/CLOSE boundary patches.
-    icost/bseq/btgt: SMEM size-cost tables (interior [d, d], bulges).
-    Scratch: three window channels f32[d-1, S, L2p], best f32[S, 1].
+    row0/rowl: VMEM f32[1, K, S, L2p] full-row OPEN/CLOSE boundary
+    patches.  icost/bseq/btgt: SMEM size-cost tables.
+    Scratch (shared across the program's K groups, reset per group):
+    three window channels f32[d-1, S, L2p].
     """
     sublanes = win_c.shape[1]
     l2p = win_c.shape[2]
@@ -78,7 +86,6 @@ def _duplex_kernel(
     win_c[...] = jnp.full(win_c.shape, _INF, jnp.float32)
     win_ca[...] = jnp.full(win_ca.shape, _INF, jnp.float32)
     win_cw[...] = jnp.full(win_cw.shape, _INF, jnp.float32)
-    best[...] = jnp.full(best.shape, _INF, jnp.float32)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (sublanes, l2p), 1)
 
@@ -98,11 +105,12 @@ def _duplex_kernel(
 
     rec_col = jax.lax.broadcasted_iota(jnp.int32, (sublanes, _REC), 1)
 
-    def body(i, _):
-        rec = recs_ref[0, i]  # [S, 4]: s3g, s2g, col0 patch, coll patch
+    def body(i, best_acc):
+        rec = recs_ref[0, j, i]  # [S, 4]: s3g, s2g, col0 patch, coll patch
         # Expand the compact index record into the [S, 128] one-hot
         # matmul operand on the VPU (a compare against the lane iota);
-        # materializing these one-hots in HBM was ~70% of v3's runtime.
+        # materializing these one-hots in HBM was ~70% of an earlier
+        # variant's runtime.
         idx3 = rec[:, 0:1]
         idx2 = rec[:, 1:2]
         m3 = (rec_col < 64) & (rec_col.astype(jnp.float32) == idx3)
@@ -129,10 +137,10 @@ def _duplex_kernel(
 
         open_e = chan(_OPEN)
         # Duplex-end boundary patches (rd.build_slabs' patch block).
-        open_e = jnp.where(i == 0, row0_ref[0], open_e)
+        open_e = jnp.where(i == 0, row0_ref[0, j], open_e)
         open_e = jnp.where(col == 0, rec[:, 2:3], open_e)
         close_e = chan(_CLOSE)
-        close_e = jnp.where(i == l1 - 1, rowl_ref[0], close_e)
+        close_e = jnp.where(i == l1 - 1, rowl_ref[0, j], close_e)
         close_e = jnp.where(col == l2 - 1, rec[:, 3:4], close_e)
 
         acc = jnp.minimum(open_e, shift_right(win_c[0], 1) + chan(_STACK))
@@ -171,9 +179,9 @@ def _duplex_kernel(
         # Unpairable cells (open_e == +inf) admit no path at all.
         acc = jnp.where(open_e >= _INF / 2, _INF, acc)
 
-        best[...] = jnp.minimum(
-            best[...], jnp.min(acc + close_e, axis=1, keepdims=True)
-        )
+        # Per-LANE best accumulation: the cross-lane reduction happens
+        # once per group, after the row loop (module docstring).
+        best_acc = jnp.minimum(best_acc, acc + close_e)
         win_c[...] = jnp.concatenate([acc[None], win_c[: d - 2]], axis=0)
         win_ca[...] = jnp.concatenate(
             [(acc + chan(_MA))[None], win_ca[: d - 2]], axis=0
@@ -181,166 +189,26 @@ def _duplex_kernel(
         win_cw[...] = jnp.concatenate(
             [(acc + au_e)[None], win_cw[: d - 2]], axis=0
         )
-        return 0
+        return best_acc
 
-    jax.lax.fori_loop(0, l1, body, 0)
-
-    result = jnp.where(best[...] >= _INF / 2, 0.0, best[...])
-    out_ref[0] = jnp.broadcast_to(result, (sublanes, 128))
-
-
-def _duplex_kernel_v4(
-    recs_ref, tbl_ref, row0_ref, rowl_ref, icost_ref, bseq_ref, btgt_ref,
-    out_ref, win_c, win_ca, win_cw, best, chan_buf, *, d, l1, l2, k_block
-):
-    """v4: channel expansion batched over `k_block`-row blocks.
-
-    The round-3 scaling profile (BASELINE.md) showed v3's ~4 us/row is
-    NOT VPU op count (time is flat in maxloop: 42.7 ms at maxloop=4 vs
-    45.1 at 16 for the same shapes) — it is the per-row [S,128]@[128,9*L2p]
-    f32-HIGHEST matmul issued serially inside the row loop: ~54 dependent
-    MXU passes per row that never pipeline across iterations.  v4 hoists
-    the expansion out of the serial chain: one [K*S, 128] @ [128, 9*L2p]
-    matmul per K-row block fills a VMEM scratch (`chan_buf`), the MXU
-    pipelines its tiles back-to-back, and the DP rows read their channels
-    from scratch.  Bit-exactness is preserved (same operand construction,
-    same HIGHEST-precision dot — only the batching changes).
-
-    Rows >= l1 (block padding) are masked out of the best/window updates.
-    """
-    sublanes = win_c.shape[1]
-    l2p = win_c.shape[2]
-    maxloop = d - 2
-    n_blocks = recs_ref.shape[1] // k_block
-
-    win_c[...] = jnp.full(win_c.shape, _INF, jnp.float32)
-    win_ca[...] = jnp.full(win_ca.shape, _INF, jnp.float32)
-    win_cw[...] = jnp.full(win_cw.shape, _INF, jnp.float32)
-    best[...] = jnp.full(best.shape, _INF, jnp.float32)
-
-    col = jax.lax.broadcasted_iota(jnp.int32, (sublanes, l2p), 1)
-
-    def shift_right(rows, k):
-        rolled = pltpu.roll(rows, k, axis=1)
-        return jnp.where(col < k, _INF, rolled)
-
-    interior_combos = [
-        (r, dj)
-        for dj in range(2, d)
-        for r in range(1, d - 1)
-        if (r + dj - 1) <= maxloop and not (r == 1 and dj == 2)
-    ]
-
-    rec_col3 = jax.lax.broadcasted_iota(
-        jnp.int32, (k_block, sublanes, _REC), 2
+    best_acc = jax.lax.fori_loop(
+        0, l1, body, jnp.full((sublanes, l2p), _INF, jnp.float32)
     )
+    best = jnp.min(best_acc, axis=1, keepdims=True)
+    result = jnp.where(best >= _INF / 2, 0.0, best)
+    out_ref[0, j] = jnp.broadcast_to(result, (sublanes, 128))
 
-    def block_body(b, _):
-        i0 = b * k_block
-        recs = recs_ref[0, pl.ds(i0, k_block)]  # [K, S, 4]
-        idx3 = recs[:, :, 0:1]
-        idx2 = recs[:, :, 1:2]
-        m3 = (rec_col3 < 64) & (rec_col3.astype(jnp.float32) == idx3)
-        m2 = (rec_col3 >= 64) & (rec_col3 < 80) & (
-            (rec_col3 - 64).astype(jnp.float32) == idx2
+
+def _duplex_kernel(
+    recs_ref, tbl_ref, row0_ref, rowl_ref, icost_ref, bseq_ref, btgt_ref,
+    out_ref, win_c, win_ca, win_cw, *, d, l1, l2, k_groups
+):
+    """One program runs `k_groups` independent sublane groups' DPs."""
+    for j in range(k_groups):
+        _duplex_group_body(
+            j, recs_ref, tbl_ref, row0_ref, rowl_ref, icost_ref, bseq_ref,
+            btgt_ref, out_ref, win_c, win_ca, win_cw, d=d, l1=l1, l2=l2,
         )
-        operand = jnp.where(m3 | m2, 1.0, 0.0).reshape(
-            k_block * sublanes, _REC
-        )
-        # ONE pipelined MXU matmul per block (see docstring; HIGHEST for
-        # the bit-exactness contract, as in v3).
-        chan_buf[...] = jax.lax.dot_general(
-            operand,
-            tbl_ref[...],
-            (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-
-        def row_body(k, _):
-            i = i0 + k
-            rec = recs_ref[0, i]  # [S, 4] (ref read: dynamic index OK)
-            rows = chan_buf[pl.ds(k * sublanes, sublanes)]  # [S, 9*l2p]
-
-            def chan(c):
-                return rows[:, c * l2p:(c + 1) * l2p]
-
-            open_e = chan(_OPEN)
-            open_e = jnp.where(i == 0, row0_ref[0], open_e)
-            open_e = jnp.where(col == 0, rec[:, 2:3], open_e)
-            close_e = chan(_CLOSE)
-            close_e = jnp.where(i == l1 - 1, rowl_ref[0], close_e)
-            close_e = jnp.where(col == l2 - 1, rec[:, 3:4], close_e)
-
-            acc = jnp.minimum(open_e, shift_right(win_c[0], 1) + chan(_STACK))
-            acc = jnp.minimum(acc, shift_right(win_c[1], 1) + chan(_B1S))
-            acc = jnp.minimum(acc, shift_right(win_c[0], 2) + chan(_B1T))
-            acc = jnp.minimum(acc, shift_right(win_c[1], 2) + chan(_I11))
-
-            loop_min = None
-            for dj in range(2, d):
-                col_min = None
-                for r, dj2 in interior_combos:
-                    if dj2 != dj:
-                        continue
-                    cand = win_ca[r] + icost_ref[r + 1, dj]
-                    col_min = (
-                        cand if col_min is None else jnp.minimum(col_min, cand)
-                    )
-                if col_min is None:
-                    continue
-                shifted = shift_right(col_min, dj)
-                loop_min = (
-                    shifted if loop_min is None
-                    else jnp.minimum(loop_min, shifted)
-                )
-            acc = jnp.minimum(acc, loop_min + chan(_MB))
-
-            au_e = chan(_AU)
-            bs_min = None
-            for r in range(2, maxloop + 1):
-                cand = win_cw[r] + bseq_ref[r]
-                bs_min = cand if bs_min is None else jnp.minimum(bs_min, cand)
-            acc = jnp.minimum(acc, shift_right(bs_min, 1) + au_e)
-            bt_min = None
-            for dj in range(3, maxloop + 2):
-                cand = shift_right(win_cw[0], dj) + btgt_ref[dj]
-                bt_min = cand if bt_min is None else jnp.minimum(bt_min, cand)
-            acc = jnp.minimum(acc, bt_min + au_e)
-
-            acc = jnp.where(open_e >= _INF / 2, _INF, acc)
-
-            # Padded rows (i >= l1) must not touch best or the windows.
-            valid = i < l1
-            new_best = jnp.minimum(
-                best[...], jnp.min(acc + close_e, axis=1, keepdims=True)
-            )
-            best[...] = jnp.where(valid, new_best, best[...])
-            win_c[...] = jnp.where(
-                valid,
-                jnp.concatenate([acc[None], win_c[: d - 2]], axis=0),
-                win_c[...],
-            )
-            win_ca[...] = jnp.where(
-                valid,
-                jnp.concatenate([(acc + chan(_MA))[None], win_ca[: d - 2]],
-                                axis=0),
-                win_ca[...],
-            )
-            win_cw[...] = jnp.where(
-                valid,
-                jnp.concatenate([(acc + au_e)[None], win_cw[: d - 2]], axis=0),
-                win_cw[...],
-            )
-            return 0
-
-        jax.lax.fori_loop(0, k_block, row_body, 0)
-        return 0
-
-    jax.lax.fori_loop(0, n_blocks, block_body, 0)
-
-    result = jnp.where(best[...] >= _INF / 2, 0.0, best[...])
-    out_ref[0] = jnp.broadcast_to(result, (sublanes, 128))
 
 
 def _contracted_tables(target_rev, em, l2p):
@@ -445,80 +313,62 @@ def _records_and_patches(seq_tokens, target_rev, em, l2p):
 
 
 @partial(jax.jit,
-         static_argnames=("maxloop", "interpret", "group", "block_rows"))
+         static_argnames=("maxloop", "interpret", "group", "k_groups"))
 def _pallas_duplex_batch(seq_tokens, target_rev, em, maxloop: int,
                          interpret: bool, group: int = SUBLANES,
-                         block_rows: int = 10):
-    """`block_rows > 0` selects the v4 blocked-expansion kernel; 0 = v3."""
+                         k_groups: int = 1):
+    """`k_groups` sublane groups of `group` sequences per program."""
     d = maxloop + 2
     b, l1 = seq_tokens.shape
     l2 = target_rev.shape[0]
     l2p = ((l2 + 127) // 128) * 128
 
-    # Pad the batch to a multiple of the per-program sublane group.
-    bp = ((b + group - 1) // group) * group
+    # Pad the batch to a multiple of the per-program block.
+    block = group * k_groups
+    bp = ((b + block - 1) // block) * block
     if bp != b:
         seq_tokens = jnp.pad(seq_tokens, [(0, bp - b), (0, 0)])
-    groups = bp // group
+    programs = bp // block
 
     tbl = _contracted_tables(target_rev, em, l2p)
     rec, open_row0, close_rowl = _records_and_patches(
         seq_tokens, target_rev, em, l2p
     )
-    # [B, L1, 4] -> [G, L1, S, 4]: program g owns sequences
-    # g*S .. g*S+S-1 as sublanes of each row record.
-    rec = rec.reshape(groups, group, l1, 4).transpose(0, 2, 1, 3)
-    l1p = l1
-    if block_rows > 0:
-        # Pad the row axis to whole blocks (padded rows are masked out of
-        # the DP inside the kernel).
-        l1p = -(-l1 // block_rows) * block_rows
-        if l1p != l1:
-            rec = jnp.pad(rec, [(0, 0), (0, l1p - l1), (0, 0), (0, 0)])
-    open_row0 = open_row0.reshape(groups, group, l2p)
-    close_rowl = close_rowl.reshape(groups, group, l2p)
+    # [B, L1, 4] -> [P, K, L1, S, 4]: program p, slot k owns sequences
+    # (p*K + k)*S .. +S-1 as sublanes of each row record.
+    rec = (
+        rec.reshape(programs, k_groups, group, l1, 4)
+        .transpose(0, 1, 3, 2, 4)
+    )
+    open_row0 = open_row0.reshape(programs, k_groups, group, l2p)
+    close_rowl = close_rowl.reshape(programs, k_groups, group, l2p)
 
     bulge_seq, bulge_tgt = em["bulge_seq"], em["bulge_tgt"]
 
-    if block_rows > 0:
-        kernel = partial(
-            _duplex_kernel_v4, d=d, l1=l1, l2=l2, k_block=block_rows
-        )
-        scratch = [
-            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
-            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
-            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
-            pltpu.VMEM((group, 1), jnp.float32),
-            pltpu.VMEM((block_rows * group, _N_SLABS * l2p), jnp.float32),
-        ]
-    else:
-        kernel = partial(_duplex_kernel, d=d, l1=l1, l2=l2)
-        scratch = [
-            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
-            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
-            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
-            pltpu.VMEM((group, 1), jnp.float32),
-        ]
-
     out = pl.pallas_call(
-        kernel,
-        grid=(groups,),
+        partial(_duplex_kernel, d=d, l1=l1, l2=l2, k_groups=k_groups),
+        grid=(programs,),
         in_specs=[
-            pl.BlockSpec((1, l1p, group, 4), lambda g: (g, 0, 0, 0)),
+            pl.BlockSpec((1, k_groups, l1, group, 4), lambda g: (g, 0, 0, 0, 0)),
             pl.BlockSpec((_REC, _N_SLABS * l2p), lambda g: (0, 0)),
-            pl.BlockSpec((1, group, l2p), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, group, l2p), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, k_groups, group, l2p), lambda g: (g, 0, 0, 0)),
+            pl.BlockSpec((1, k_groups, group, l2p), lambda g: (g, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, group, 128), lambda g: (g, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((groups, group, 128), jnp.float32),
-        scratch_shapes=scratch,
+        out_specs=pl.BlockSpec((1, k_groups, group, 128), lambda g: (g, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((programs, k_groups, group, 128),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
+            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
+            pltpu.VMEM((d - 1, group, l2p), jnp.float32),
+        ],
         interpret=interpret,
     )(rec, tbl, open_row0, close_rowl, em["interior_cost"], bulge_seq,
       bulge_tgt)
-    return out[:, :, 0].reshape(bp)[:b]
+    return out[:, :, :, 0].reshape(bp)[:b]
 
 
 def duplex_energy_batch_pallas(
