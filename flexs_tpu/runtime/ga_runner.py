@@ -30,6 +30,7 @@ import pandas as pd
 from flexs_tpu.alphabet import Alphabet, as_alphabet
 from flexs_tpu.ops import packed_hamming
 from flexs_tpu.runtime import jit_runner
+from flexs_tpu.runtime import surrogate as surrogate_lib
 from flexs_tpu.runtime.jit_runner import RunResult, device_run_args, fetch_run_result, _dists_to_cache, _masked_append
 
 
@@ -93,7 +94,7 @@ def run_ga_nam(
     cache_truth = jnp.zeros((cache_cap,), jnp.float32).at[0].set(start_truth)
     n_cache = jnp.int32(1)
 
-    def nam_query(cache, costs, tokens, mask, key):
+    def nam_query(cache, costs, tokens, mask, key, surr=None):
         cache_tokens, cache_pk, cache_vals, cache_truth, n_cache = cache
         model_cost, landscape_cost = costs
 
@@ -103,10 +104,16 @@ def run_ga_nam(
         nearest = jnp.argmin(dists, axis=1)
         cached = min_dist == 0
 
-        signal = fitness_fn(fitness_params, tokens)
-        if cfg.perfect_model:
+        if cfg.surrogate is not None:
+            # Fresh forward through the carried net for every row (it
+            # retrains between rounds; see jit_runner.nam_query).
+            signal = surrogate_lib.predict(cfg.surrogate, A, surr, tokens)
+            values = signal
+        elif cfg.perfect_model:
+            signal = fitness_fn(fitness_params, tokens)
             values = jnp.where(cached, cache_vals[nearest], signal)
         else:
+            signal = fitness_fn(fitness_params, tokens)
             neighbor_truth = cache_truth[nearest]
             key, k_exp, k_choice = jax.random.split(key, 3)
             expo = jax.random.exponential(k_exp, (tokens.shape[0],))
@@ -133,7 +140,7 @@ def run_ga_nam(
             )
         )
         model_cost = model_cost + jnp.sum(mask)
-        if not cfg.perfect_model:
+        if not cfg.perfect_model and cfg.surrogate is None:
             landscape_cost = landscape_cost + 2 * jnp.sum(insert)
         return (
             (cache_tokens, cache_pk, cache_vals, cache_truth, n_cache),
@@ -162,9 +169,19 @@ def run_ga_nam(
             cache,
             model_cost,
             landscape_cost,
+            surr_state,
             key,
         ) = carry
         round_start_cost = model_cost
+
+        # Surrogate mode: warm-started multi-epoch fit on the measured
+        # buffer before proposing (reference explorer.py:157-160).
+        if cfg.surrogate is not None:
+            key, k_fit = jax.random.split(key)
+            surr_state = surrogate_lib.train(
+                cfg.surrogate, A, surr_state,
+                measured_tokens, measured_truth, n_measured, k_fit,
+            )
 
         # Initial population from measured data.
         key, k_init = jax.random.split(key)
@@ -218,7 +235,9 @@ def run_ga_nam(
             )
             keep = novel & ~dup_earlier
 
-            cache, costs, vals, pos = nam_query(cache, costs, children, keep, k_nam)
+            cache, costs, vals, pos = nam_query(
+                cache, costs, children, keep, k_nam, surr=surr_state
+            )
 
             gen_tokens, _, n_gen, (gen_preds, gen_cache_pos) = _masked_append(
                 gen_tokens,
@@ -290,8 +309,15 @@ def run_ga_nam(
             cache,
             model_cost,
             landscape_cost,
+            surr_state,
             key,
         ), out
+
+    if cfg.surrogate is not None:
+        key, k_init = jax.random.split(key)
+        surr0 = surrogate_lib.init_state(cfg.surrogate, A, L, k_init)
+    else:
+        surr0 = ()
 
     init = (
         measured_tokens,
@@ -300,6 +326,7 @@ def run_ga_nam(
         (cache_tokens, cache_pk, cache_vals, cache_truth, n_cache),
         jnp.int32(0),
         jnp.int32(1),
+        surr0,
         key,
     )
     _, outs = jax.lax.scan(round_body, init, None, length=R)
@@ -324,16 +351,24 @@ class DeviceGeneticAlgorithmNAM:
         beta: float = 0.05,
         signal_strength: float = 0.9,
         model: str = "nam",
+        surrogate_spec=None,
         seed: int = 0,
     ):
-        """Create the fused GA runner for `landscape`."""
-        if model not in ("nam", "perfect"):
-            raise ValueError("model must be 'nam' or 'perfect'")
+        """Create the fused GA runner for `landscape`.
+
+        `model="surrogate"` carries an empirical Flax net (default CNN;
+        see runtime/surrogate.py) retrained on the measured set every
+        round inside the device program.
+        """
+        if model not in ("nam", "perfect", "surrogate"):
+            raise ValueError("model must be 'nam', 'perfect' or 'surrogate'")
+        if model == "surrogate" and surrogate_spec is None:
+            surrogate_spec = surrogate_lib.SurrogateSpec()
         self.landscape = landscape
         self.alphabet: Alphabet = as_alphabet(alphabet)
         self.starting_sequence = starting_sequence
         self.model = model
-        self.signal_strength = 1.0 if model == "perfect" else signal_strength
+        self.signal_strength = 1.0 if model != "nam" else signal_strength
         self.seed = seed
         self.name = (
             f"DeviceGeneticAlgorithm_pop_size={population_size}_"
@@ -350,6 +385,7 @@ class DeviceGeneticAlgorithmNAM:
             model_queries_per_batch=model_queries_per_batch,
             alphabet_size=len(self.alphabet),
             perfect_model=(model == "perfect"),
+            surrogate=surrogate_spec if model == "surrogate" else None,
         )
         self._fitness_fn, self._fitness_params = landscape.device_fitness()
 

@@ -114,6 +114,26 @@ def test_surrogate_sweep_sharded(landscape):
     assert (df["model_cost"] > 0).all()
 
 
+def test_device_ga_surrogate(landscape):
+    from flexs_tpu.runtime.ga_runner import DeviceGeneticAlgorithmNAM
+
+    explorer = DeviceGeneticAlgorithmNAM(
+        landscape,
+        "TGCA",
+        rounds=3,
+        sequences_batch_size=8,
+        model_queries_per_batch=40,
+        starting_sequence=tf_binding.STARTS[0],
+        population_size=20,
+        model="surrogate",
+        surrogate_spec=TINY_CNN,
+    )
+    df, _ = explorer.run(verbose=False)
+    assert df["true_score"].max() >= df["true_score"].iloc[0]
+    # Landscape pays only for measurements.
+    assert df["measurement_cost"].max() == len(df)
+
+
 def test_surrogate_sweep_cmaes(landscape):
     df = run_landscape_robustness_sweep(
         [landscape],
