@@ -39,6 +39,7 @@ import pandas as pd
 from flexs_tpu.alphabet import Alphabet, as_alphabet
 from flexs_tpu.ops import packed_hamming
 from flexs_tpu.runtime import jit_runner
+from flexs_tpu.runtime import surrogate as surrogate_lib
 from flexs_tpu.runtime.jit_runner import (
     RunResult,
     device_run_args,
@@ -66,13 +67,27 @@ def run_bo_nam(
     `model_queries_per_batch`, mirroring the host explorer's lockstep
     redesign of the reference's serial budget loop (reference
     bo.py:228-255).
+
+    With `cfg.surrogate` set, the model is an in-program trained
+    CNN/ensemble (runtime/surrogate.py; the reference's BO-CNN runs,
+    paper_code/cloud/runs/rosetta_cnn/bo_*_cnn.csv) and the acquisition
+    uses TRUE per-member statistics: EI = mean_k(max(v_k - best, 0))
+    (reference bo.py:125-127 with best_fitness = running max of chosen
+    mean-predictions, bo.py:182-185) and UCB = mean - 0.01 * std
+    (bo.py:129-133, including the reference's MINUS-sign quirk).
+    Documented deviation: the reference additionally retrains its
+    ensemble on the PER memory inside every propose call (bo.py:86-100);
+    here the ensemble trains once per round on the measured set (the
+    Explorer.run contract), which is the dominant signal.
     """
-    del method  # single NAM member: EI and UCB both rank by prediction.
+    if cfg.surrogate is None:
+        del method  # single NAM member: EI and UCB rank by prediction.
     B = cfg.sequences_batch_size
     A = cfg.alphabet_size
     L = start_tokens.shape[0]
     R = cfg.rounds
     ss = jnp.asarray(signal_strength, jnp.float32)
+    measured_cap = 1 + R * B + 1
 
     C = min(num_chains, B)
     T = max(1, -(-B // C))  # ceil(B / C) lockstep steps per round
@@ -172,8 +187,17 @@ def run_bo_nam(
             prev_tokens,
             prev_truth,
             prev_valid,
+            surr,
             key,
         ) = carry
+        surr_state, best_fit, measured = surr
+
+        if cfg.surrogate is not None:
+            key, k_fit = jax.random.split(key)
+            m_tokens, m_truth, n_m = measured
+            surr_state = surrogate_lib.train(
+                cfg.surrogate, A, surr_state, m_tokens, m_truth, n_m, k_fit
+            )
 
         key, k_seed = jax.random.split(key)
         # Thompson-sample chain seeds from the previous measured batch with
@@ -190,7 +214,7 @@ def run_bo_nam(
         n_gen = jnp.int32(0)
 
         def step_body(step_carry, _):
-            states, gen_state, cache, costs, key = step_carry
+            states, gen_state, cache, costs, best_fit, key = step_carry
             gen_tokens, gen_pk, gen_preds, gen_cache_pos, n_gen = gen_state
 
             key, k_flip, k_pos, k_res, k_nam = jax.random.split(key, 5)
@@ -207,15 +231,36 @@ def run_bo_nam(
             mutants = jnp.where(flip, (cur + offsets) % A, cur)
 
             flat = mutants.reshape(C * M, L)
-            cache, costs, vals, pos = nam_query(cache, costs, flat, k_nam)
+            if cfg.surrogate is not None:
+                # Per-member acquisition over the in-program ensemble
+                # (docstring; reference bo.py:125-133, 170-185).
+                member_vals = surrogate_lib.predict_members(
+                    cfg.surrogate, A, surr_state, flat
+                )  # [K, C*M]
+                vals = jnp.mean(member_vals, axis=0)
+                if method == "UCB":
+                    acq = vals - 0.01 * jnp.std(member_vals, axis=0)
+                else:  # EI
+                    acq = jnp.mean(
+                        jnp.maximum(member_vals - best_fit, 0.0), axis=0
+                    )
+                model_cost_s, landscape_cost_s = costs
+                costs = (model_cost_s + C * M, landscape_cost_s)
+                pos = jnp.full((C * M,), cache_cap - 1, jnp.int32)
+            else:
+                cache, costs, vals, pos = nam_query(cache, costs, flat, k_nam)
+                # Single NAM member: EI and UCB both reduce to the
+                # predicted fitness — module docstring.
+                acq = vals
 
-            # Acquisition argmax per chain (single NAM member: EI and UCB
-            # both reduce to the predicted fitness — module docstring).
-            pick = vals.reshape(C, M).argmax(axis=1)
+            pick = acq.reshape(C, M).argmax(axis=1)
             take = jnp.arange(C) * M + pick
             chosen = flat[take]  # int32[C, L]
             chosen_vals = vals[take]
             chosen_pos = pos[take].astype(jnp.int32)
+            # best_fitness: running max of chosen mean-predictions
+            # (reference bo.py:182-185).
+            best_fit = jnp.maximum(best_fit, jnp.max(chosen_vals))
 
             # Visited states join the proposal pool, deduped within the
             # round (the reference's `samples` dict keys, bo.py:262-266).
@@ -245,16 +290,18 @@ def run_bo_nam(
                 (gen_tokens, gen_pk, gen_preds, gen_cache_pos, n_gen),
                 cache,
                 costs,
+                best_fit,
                 key,
             ), None
 
-        (states, gen_state, cache, costs, key), _ = jax.lax.scan(
+        (states, gen_state, cache, costs, best_fit, key), _ = jax.lax.scan(
             step_body,
             (
                 states,
                 (gen_tokens, gen_pk, gen_preds, gen_cache_pos, n_gen),
                 cache,
                 (model_cost, landscape_cost),
+                best_fit,
                 key,
             ),
             None,
@@ -282,6 +329,14 @@ def run_bo_nam(
         )
         cache = (cache[0], cache[1], cache_vals, cache_truth, cache[4])
 
+        if cfg.surrogate is not None:
+            m_tokens, m_truth, n_m = measured
+            m_tokens, _, n_m, (m_truth,) = _masked_append(
+                m_tokens, proposals, n_m, valid,
+                aux_bufs=(m_truth,), aux_rows=(truth,),
+            )
+            measured = (m_tokens, m_truth, n_m)
+
         out = (proposals, top_vals, truth, valid, model_cost, landscape_cost)
         return (
             cache,
@@ -290,12 +345,27 @@ def run_bo_nam(
             proposals,
             truth,
             valid,
+            (surr_state, best_fit, measured),
             key,
         ), out
 
     prev_tokens = jnp.zeros((B, L), jnp.int32).at[0].set(start_tokens)
     prev_truth = jnp.full((B,), -jnp.inf, jnp.float32).at[0].set(start_truth)
     prev_valid = jnp.zeros((B,), bool).at[0].set(True)
+    if cfg.surrogate is not None:
+        key, k_init = jax.random.split(key)
+        surr0 = surrogate_lib.init_state(cfg.surrogate, A, L, k_init)
+        measured0 = (
+            jnp.zeros((measured_cap, L), jnp.int32).at[0].set(start_tokens),
+            jnp.full((measured_cap,), -jnp.inf, jnp.float32).at[0].set(
+                start_truth
+            ),
+            jnp.int32(1),
+        )
+        # best_fitness starts at 0 (reference initialize_data_structures).
+        surr_init = (surr0, jnp.float32(0.0), measured0)
+    else:
+        surr_init = ((), jnp.float32(0.0), ())
     init = (
         (cache_tokens, cache_pk, cache_vals, cache_truth, n_cache),
         jnp.int32(0),
@@ -303,6 +373,7 @@ def run_bo_nam(
         prev_tokens,
         prev_truth,
         prev_valid,
+        surr_init,
         key,
     )
     _, outs = jax.lax.scan(round_body, init, None, length=R)
@@ -324,30 +395,40 @@ class DeviceBONAM:
         method: str = "EI",
         signal_strength: float = 0.9,
         model: str = "nam",
+        surrogate_spec=None,
         seed: int = 0,
     ):
-        """Create the fused Evo-BO runner for `landscape`."""
-        if model not in ("nam", "perfect"):
-            raise ValueError("model must be 'nam' or 'perfect'")
+        """Create the fused Evo-BO runner for `landscape`.
+
+        `model="surrogate"` carries an in-program trained ensemble
+        (default = 3x CNN so EI/UCB see a real member spread; the
+        reference's own BO-CNN runs used Ens of one CNN, bo_*_cnn.csv).
+        """
+        if model not in ("nam", "perfect", "surrogate"):
+            raise ValueError("model must be 'nam', 'perfect' or 'surrogate'")
+        if model == "surrogate" and surrogate_spec is None:
+            surrogate_spec = surrogate_lib.SurrogateSpec(ensemble_size=3)
         self.landscape = landscape
         self.alphabet: Alphabet = as_alphabet(alphabet)
         self.starting_sequence = starting_sequence
-        self.signal_strength = 1.0 if model == "perfect" else signal_strength
+        self.signal_strength = 1.0 if model != "nam" else signal_strength
         self.num_chains = num_chains
         self.method = method
         self.seed = seed
         self.name = f"DeviceBO_method={method}"
-        self.model_name = (
-            f"LandscapeAsModel={landscape.name}"
-            if model == "perfect"
-            else f"NAMb_ss{signal_strength}"
-        )
+        if model == "perfect":
+            self.model_name = f"LandscapeAsModel={landscape.name}"
+        elif model == "surrogate":
+            self.model_name = surrogate_spec.model_name
+        else:
+            self.model_name = f"NAMb_ss{signal_strength}"
         self.cfg = jit_runner.AdaleadConfig(
             rounds=rounds,
             sequences_batch_size=sequences_batch_size,
             model_queries_per_batch=model_queries_per_batch,
             alphabet_size=len(self.alphabet),
             perfect_model=(model == "perfect"),
+            surrogate=surrogate_spec if model == "surrogate" else None,
         )
         self._fitness_fn, self._fitness_params = landscape.device_fitness()
 

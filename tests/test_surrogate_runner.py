@@ -134,6 +134,28 @@ def test_device_ga_surrogate(landscape):
     assert df["measurement_cost"].max() == len(df)
 
 
+@pytest.mark.parametrize("method", ["EI", "UCB"])
+def test_device_bo_surrogate_ensemble(landscape, method):
+    """Fused BO with a real member spread: EI/UCB use per-member stats."""
+    from flexs_tpu.runtime.bo_runner import DeviceBONAM
+
+    explorer = DeviceBONAM(
+        landscape,
+        "TGCA",
+        rounds=3,
+        sequences_batch_size=8,
+        model_queries_per_batch=64,
+        starting_sequence=tf_binding.STARTS[0],
+        num_chains=4,
+        method=method,
+        model="surrogate",
+        surrogate_spec=TINY_CNN._replace(ensemble_size=2),
+    )
+    df, _ = explorer.run(verbose=False)
+    assert df["true_score"].max() >= df["true_score"].iloc[0]
+    assert df["measurement_cost"].max() == len(df)
+
+
 def test_surrogate_sweep_cmaes(landscape):
     df = run_landscape_robustness_sweep(
         [landscape],
