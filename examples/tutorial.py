@@ -108,6 +108,25 @@ df_fused, _ = fused.run(verbose=False)
 print(f"fused device runner: top {df_fused['true_score'].max():.4f} "
       "(entire experiment = one device program)")
 
+# The fused runners also carry TRAINED surrogates in-program: a Flax CNN
+# (or ensemble) retrained on the measured set every round — the reference
+# paper's empirical-model experiment class, as one device dispatch.
+from flexs_tpu.runtime.surrogate import SurrogateSpec  # noqa: E402
+
+fused_cnn = DeviceAdaleadNAM(
+    flexs.landscapes.TFBinding(**problem["params"]),
+    flexs.DNAA,
+    rounds=3,
+    sequences_batch_size=20,
+    model_queries_per_batch=100,
+    starting_sequence=start,
+    model="surrogate",  # in-program trained CNN instead of NAM
+    surrogate_spec=SurrogateSpec(num_filters=16, hidden_size=32, epochs=5),
+    seed=0,
+)
+df_cnn, _ = fused_cnn.run(verbose=False)
+print(f"fused CNN-surrogate runner: top {df_cnn['true_score'].max():.4f}")
+
 import jax  # noqa: E402
 from jax.sharding import Mesh  # noqa: E402
 
