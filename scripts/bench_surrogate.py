@@ -131,14 +131,52 @@ def bench_host_rosetta(rounds: int):
     return dt
 
 
+def bench_surrogate_sweep(rounds: int):
+    """Fused CNN-surrogate cells vmapped+sharded like NAM cells."""
+    import time
+
+    import flexs_tpu as flexs
+    from flexs_tpu.landscapes import rosetta
+    from flexs_tpu.parallel import run_landscape_robustness_sweep
+    from flexs_tpu.runtime.surrogate import SurrogateSpec
+
+    problem = rosetta.registry()["3msi"]
+    landscape = rosetta.RosettaFolding(**problem["params"])
+    starts = list(problem["starts"].values())
+    kw = dict(
+        signal_strengths=[1.0],
+        seeds=[0, 1, 2, 3],
+        rounds=rounds,
+        sequences_batch_size=100,
+        model_queries_per_batch=2000,
+        model="surrogate",
+        surrogate_spec=SurrogateSpec(),
+    )
+    run_landscape_robustness_sweep([landscape], flexs.AAS, starts=starts[:1],
+                                   **{**kw, "seeds": [0]})  # warm compile
+    t0 = time.time()
+    df = run_landscape_robustness_sweep([landscape], flexs.AAS, starts=starts, **kw)
+    wall = time.time() - t0
+    seqs = int(df["model_cost"].sum() + df["landscape_cost"].sum())
+    print(
+        f"surrogate sweep: {len(df)} Rosetta-CNN-Adalead cells in {wall:.1f}s "
+        f"({seqs / wall:9.0f} seqs/s; mean max {df['max_fitness'].mean():.3f})"
+    )
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--starts", type=int, default=5)
     parser.add_argument("--rounds", type=int, default=10)
     parser.add_argument("--host", action="store_true", help="also time the host loop")
     parser.add_argument("--skip-cmaes", action="store_true")
+    parser.add_argument("--sweep", action="store_true",
+                        help="measure the fused-surrogate sweep throughput")
     args = parser.parse_args()
 
+    if args.sweep:
+        bench_surrogate_sweep(args.rounds)
+        return
     mean_r, steady_r = bench_rosetta_adalead(args.starts, args.rounds, True)
     if not args.skip_cmaes:
         bench_tfbind_cmaes(args.rounds)
