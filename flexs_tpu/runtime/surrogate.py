@@ -56,10 +56,17 @@ class SurrogateSpec(NamedTuple):
     epochs: int = 20
     batch_size: int = 256
     learning_rate: float = 1e-3
+    # Adaptive r^2 reweighting (reference adaptive_ensemble.py:71-96):
+    # with >= 10 live rows, members train on a random (1 - val) split and
+    # the combine weights become normalized holdout Pearson r^2; with
+    # fewer rows, members train on everything and weights are kept.
+    adaptive: bool = False
+    adaptive_val_size: float = 0.2
 
     @property
     def model_name(self) -> str:
-        """Reference-format model metadata name (cnn.py:67, ensemble.py:36)."""
+        """Reference-format model metadata name (cnn.py:67, ensemble.py:36,
+        adaptive_ensemble.py:55)."""
         if self.arch == "cnn":
             base = (
                 f"CNN_hidden_size_{self.hidden_size}"
@@ -67,16 +74,21 @@ class SurrogateSpec(NamedTuple):
             )
         else:
             base = f"MLP_hidden_size_{self.hidden_size}"
-        if self.ensemble_size == 1:
+        if self.ensemble_size == 1 and not self.adaptive:
             return base
-        return "Ens(" + "|".join([base] * self.ensemble_size) + ")"
+        members = "|".join([base] * self.ensemble_size)
+        if self.adaptive:
+            return f"AdaptiveEns({members})"
+        return f"Ens({members})"
 
 
 class SurrogateState(NamedTuple):
-    """Traced surrogate state (leading member axis on both leaves)."""
+    """Traced surrogate state (leading member axis on every leaf)."""
 
     params: dict
     opt_state: tuple
+    # Combine weight per member (normalized; uniform unless adaptive).
+    weight: jnp.ndarray
 
 
 @lru_cache(maxsize=64)
@@ -107,7 +119,11 @@ def init_state(spec: SurrogateSpec, alphabet_size: int, length: int, key):
 
     def one(k):
         params = module.init({"params": k, "dropout": k}, dummy, train=False)
-        return SurrogateState(params=params, opt_state=tx.init(params))
+        return SurrogateState(
+            params=params,
+            opt_state=tx.init(params),
+            weight=jnp.float32(1.0 / spec.ensemble_size),
+        )
 
     return jax.vmap(one)(jax.random.split(key, spec.ensemble_size))
 
@@ -138,14 +154,27 @@ def train(
     padded = num_batches * bs
 
     x = jax.nn.one_hot(tokens, alphabet_size, dtype=jnp.float32)
-    w = ((jnp.arange(cap) < n_rows) & jnp.isfinite(truth)).astype(jnp.float32)
+    w_all = ((jnp.arange(cap) < n_rows) & jnp.isfinite(truth)).astype(jnp.float32)
     y = jnp.where(jnp.isfinite(truth), truth, 0.0)
+    if spec.adaptive:
+        # Random holdout split (reference adaptive_ensemble.py:86-95;
+        # Bernoulli(val_size) per live row approximates the exact-count
+        # train_test_split). With < 10 live rows members train on
+        # everything and weights are kept (:82-85).
+        key, k_split = jax.random.split(key)
+        val_mask = w_all * (
+            jax.random.uniform(k_split, (cap,)) < spec.adaptive_val_size
+        )
+        use_split = jnp.sum(w_all) >= 10
+        w = jnp.where(use_split, w_all - val_mask, w_all)
+    else:
+        w = w_all
     if padded > cap:
         x = jnp.pad(x, ((0, padded - cap), (0, 0), (0, 0)))
         y = jnp.pad(y, (0, padded - cap))
         w = jnp.pad(w, (0, padded - cap))
 
-    def fit_one(params, opt_state, k):
+    def fit_one(params, opt_state, weight, k):
         def minibatch_step(carry, idx):
             params, opt_state, k = carry
             k, dk = jax.random.split(k)
@@ -181,10 +210,35 @@ def train(
         (params, opt_state, _), _ = jax.lax.scan(
             epoch_step, (params, opt_state, k), None, length=spec.epochs
         )
-        return SurrogateState(params=params, opt_state=opt_state)
+        return SurrogateState(params=params, opt_state=opt_state, weight=weight)
 
     keys = jax.random.split(key, spec.ensemble_size)
-    return jax.vmap(fit_one)(state.params, state.opt_state, keys)
+    new_state = jax.vmap(fit_one)(
+        state.params, state.opt_state, state.weight, keys
+    )
+
+    if spec.adaptive:
+        # Holdout Pearson r^2 per member, normalized to combine weights
+        # (reference adaptive_ensemble.py:12-26,96).
+        vm = val_mask if padded == cap else jnp.pad(val_mask, (0, padded - cap))
+        nv = jnp.maximum(jnp.sum(vm), 1.0)
+        ym = jnp.sum(y * vm) / nv
+
+        def member_r2(params):
+            p = module.apply(params, x, train=False).reshape(padded)
+            pm = jnp.sum(p * vm) / nv
+            cov = jnp.sum((p - pm) * (y - ym) * vm)
+            var = jnp.sum(jnp.square(p - pm) * vm) * jnp.sum(
+                jnp.square(y - ym) * vm
+            )
+            r = cov / jnp.sqrt(var + 1e-12)
+            return jnp.nan_to_num(r * r)
+
+        r2s = jax.vmap(member_r2)(new_state.params)
+        wts = r2s / jnp.maximum(jnp.sum(r2s), 1e-9)
+        weight = jnp.where(use_split, wts, new_state.weight)
+        new_state = new_state._replace(weight=weight)
+    return new_state
 
 
 def predict(
@@ -193,13 +247,16 @@ def predict(
     state: SurrogateState,
     tokens: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Mean-over-members prediction f32[B] for int32[B, L] tokens.
+    """Weight-combined prediction f32[B] for int32[B, L] tokens.
 
     Mirrors `KerasModel._fitness_function` (predict + nan_to_num,
-    keras_model.py:69-79) and the Ensemble's default mean combine
-    (ensemble.py:24,54-59).
+    keras_model.py:69-79) combined over members: uniform weights give the
+    plain Ensemble mean (ensemble.py:24,54-59); adaptive specs use the
+    holdout-r^2 weights (adaptive_ensemble.py:97-102, weighted sum with
+    weights normalized to 1).
     """
-    return jnp.mean(predict_members(spec, alphabet_size, state, tokens), axis=0)
+    members = predict_members(spec, alphabet_size, state, tokens)
+    return jnp.sum(members * state.weight[:, None], axis=0)
 
 
 def predict_members(

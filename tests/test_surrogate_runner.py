@@ -52,6 +52,53 @@ def test_surrogate_fit_reduces_loss():
     assert after < before * 0.5, (before, after)
 
 
+def test_adaptive_ensemble_weights():
+    """Adaptive specs reweight members by holdout r^2 (sum to 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    L, A, n = 8, 4, 60
+    tokens = jax.random.randint(key, (64, L), 0, A)
+    truth = jnp.where(
+        jnp.arange(64) < n,
+        jnp.sum(tokens == 2, axis=1).astype(np.float32) / L,
+        -np.inf,
+    )
+    spec = TINY_CNN._replace(ensemble_size=3, adaptive=True)
+    assert spec.model_name.startswith("AdaptiveEns(")
+    state = surrogate.init_state(spec, A, L, key)
+    np.testing.assert_allclose(np.asarray(state.weight), [1 / 3] * 3, atol=1e-6)
+    state = surrogate.train(spec, A, state, tokens, truth, n, key)
+    w = np.asarray(state.weight)
+    assert abs(w.sum() - 1.0) < 1e-5
+    assert (w >= 0).all()
+    # Prediction is the weighted member combine.
+    members = np.asarray(
+        surrogate.predict_members(spec, A, state, tokens[:4])
+    )
+    np.testing.assert_allclose(
+        np.asarray(surrogate.predict(spec, A, state, tokens[:4])),
+        (members * w[:, None]).sum(axis=0),
+        atol=1e-6,
+    )
+
+
+def test_device_adalead_adaptive_surrogate(landscape):
+    explorer = DeviceAdaleadNAM(
+        landscape,
+        "TGCA",
+        rounds=2,
+        sequences_batch_size=8,
+        model_queries_per_batch=40,
+        starting_sequence=tf_binding.STARTS[0],
+        model="surrogate",
+        surrogate_spec=TINY_CNN._replace(ensemble_size=2, adaptive=True),
+    )
+    df, _ = explorer.run(verbose=False)
+    assert df["true_score"].max() >= df["true_score"].iloc[0]
+
+
 def test_device_adalead_surrogate(landscape):
     explorer = DeviceAdaleadNAM(
         landscape,
