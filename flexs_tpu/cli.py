@@ -53,6 +53,14 @@ def main(argv=None) -> int:
         help="fused explorer family (adalead uses the shared-table fast "
         "path; the rest go through the generic landscape sweep)",
     )
+    parser.add_argument(
+        "--model",
+        default="nam",
+        choices=["nam", "perfect", "surrogate"],
+        help="fused model family; 'surrogate' trains a CNN in-program per "
+        "cell (signal strengths are ignored) and routes through the "
+        "generic landscape sweep",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -71,15 +79,16 @@ def main(argv=None) -> int:
     if not args.no_mesh:
         mesh = Mesh(np.array(jax.devices()), ("cells",))
 
-    n_cells = len(names) * len(starts) * len(args.signal_strengths) * len(args.seeds)
+    n_ss = 1 if args.model == "surrogate" else len(args.signal_strengths)
+    n_cells = len(names) * len(starts) * n_ss * len(args.seeds)
     print(
         f"sweep: {len(names)} landscapes x {len(starts)} starts x "
-        f"{len(args.signal_strengths)} signal strengths x {len(args.seeds)} "
+        f"{n_ss} signal strengths x {len(args.seeds)} "
         f"seeds = {n_cells} cells on {len(jax.devices())} device(s)"
     )
 
     t0 = time.time()
-    if args.algorithm == "adalead":
+    if args.algorithm == "adalead" and args.model == "nam":
         df = run_robustness_sweep(
             landscape_names=names,
             starts=starts,
@@ -101,13 +110,16 @@ def main(argv=None) -> int:
             landscapes,
             "TGCA",
             starts=starts,
-            signal_strengths=args.signal_strengths,
+            signal_strengths=(
+                [1.0] if args.model == "surrogate" else args.signal_strengths
+            ),
             seeds=args.seeds,
             rounds=args.rounds,
             sequences_batch_size=args.batch,
             model_queries_per_batch=args.queries,
             mesh=mesh,
             algorithm=args.algorithm,
+            model=args.model,
         )
     wall = time.time() - t0
 
