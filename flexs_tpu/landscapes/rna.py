@@ -68,10 +68,11 @@ def _rna_binding_fitness_pallas(params, tokens):
 
     targets_rev, em, norms, conserved = params
     maxloop = em["interior_cost"].shape[0] - 2
+    interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
 
     def one_target(target_rev, norm):
         e = pallas_duplex._pallas_duplex_batch(
-            tokens, target_rev, em, maxloop, False
+            tokens, target_rev, em, maxloop, interpret
         )
         return e / norm
 

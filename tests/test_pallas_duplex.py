@@ -33,3 +33,32 @@ def test_pallas_handles_unpairable_sequence():
     target = A.encode_one("A" * 20)
     out = np.asarray(duplex_energy_batch_pallas(tokens, target))
     assert out[0] == 0.0
+
+
+def test_landscape_pallas_fitness_matches_xla():
+    """The fused-runner Pallas oracle == the XLA slab oracle at the
+    landscape level (multi-target mean, normalization, conserved-region
+    zeroing) — the contract behind `RNABinding.device_fitness()`'s
+    TPU-backend switch."""
+    import jax
+
+    reg = rna.registry()
+    targets = reg["L14_RNA1+2"]["params"]["targets"]
+    land = rna.RNABinding(
+        targets=targets,
+        seq_length=14,
+        conserved_region={"start": 2, "pattern": "CCGG"},
+    )
+    rng = np.random.default_rng(2)
+    toks = rng.integers(0, 4, size=(8, land.seq_length)).astype(np.int32)
+    toks[0, 2:6] = A.encode_one("CCGG")  # one conserved-satisfying row
+    import jax.numpy as jnp
+
+    toks = jnp.asarray(toks)
+    a = np.asarray(rna._rna_binding_fitness_pallas(land._fitness_params, toks))
+    b = np.asarray(jax.jit(rna._rna_binding_fitness)(land._fitness_params, toks))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    # Off TPU, device_fitness must select the XLA fn (interpret-mode
+    # Pallas is far slower than the slab scan).
+    fn, _ = land.device_fitness()
+    assert fn is rna._rna_binding_fitness
