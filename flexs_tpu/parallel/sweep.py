@@ -281,7 +281,10 @@ def run_landscape_robustness_sweep(
     `signal_strengths`), "perfect", or "surrogate" — an empirical Flax
     net (`flexs_tpu.runtime.surrogate.SurrogateSpec`, default = the
     paper's CNN) trained in-program each round per cell; with it,
-    `signal_strengths` is ignored and should be `[1.0]`.
+    `signal_strengths` is ignored and should be `[1.0]`.  All fused
+    algorithms support all three modes except dynappo/dynappo_mutative,
+    which train their own internal ensemble (that pool IS the trained
+    surrogate) and raise on model="surrogate".
     """
     alpha: Alphabet = as_alphabet(alphabet)
     fns_params = [land.device_fitness() for land in landscapes]
@@ -398,12 +401,18 @@ def run_efficiency_sweep(
     rounds: int = 10,
     mesh: Optional[Mesh] = None,
     chunk_size: Optional[int] = None,
+    algorithm: str = "adalead",
+    algorithm_kwargs: Optional[dict] = None,
+    model: str = "nam",
+    surrogate_spec=None,
 ) -> pd.DataFrame:
     """Efficiency evaluator as fused sweeps (reference evaluate.py:40-74).
 
     Budgets are compile-time constants of the fused runner, so each
     (sequences_batch_size, model_queries_per_batch) pair compiles once and
-    sweeps its landscape x start x seed grid on device.
+    sweeps its landscape x start x seed grid on device.  Any fused
+    algorithm x model combination is accepted (reference evaluators take
+    an arbitrary explorer factory, evaluate.py:40-52).
     """
     frames = []
     for sequences_batch_size, model_queries_per_batch in budgets:
@@ -417,6 +426,10 @@ def run_efficiency_sweep(
             model_queries_per_batch=model_queries_per_batch,
             mesh=mesh,
             chunk_size=chunk_size,
+            algorithm=algorithm,
+            algorithm_kwargs=algorithm_kwargs,
+            model=model,
+            surrogate_spec=surrogate_spec,
         )
         df["sequences_batch_size"] = sequences_batch_size
         df["model_queries_per_batch"] = model_queries_per_batch
@@ -434,11 +447,17 @@ def run_adaptivity_sweep(
     seeds: Sequence[int] = (0,),
     mesh: Optional[Mesh] = None,
     chunk_size: Optional[int] = None,
+    algorithm: str = "adalead",
+    algorithm_kwargs: Optional[dict] = None,
+    model: str = "nam",
+    surrogate_spec=None,
 ) -> pd.DataFrame:
     """Adaptivity evaluator as fused sweeps (reference evaluate.py:77-112).
 
     A fixed total budget is split across 1/10/100 rounds; each split is one
-    compiled fused-runner shape sweeping its grid on device.
+    compiled fused-runner shape sweeping its grid on device.  Any fused
+    algorithm x model combination is accepted (reference evaluators take
+    an arbitrary explorer factory, evaluate.py:77-90).
     """
     frames = []
     for rounds in num_rounds:
@@ -452,6 +471,10 @@ def run_adaptivity_sweep(
             model_queries_per_batch=int(total_model_queries / rounds),
             mesh=mesh,
             chunk_size=chunk_size,
+            algorithm=algorithm,
+            algorithm_kwargs=algorithm_kwargs,
+            model=model,
+            surrogate_spec=surrogate_spec,
         )
         df["rounds"] = rounds
         frames.append(df)
@@ -478,6 +501,10 @@ def run_robustness_sweep(
     mesh: Optional[Mesh] = None,
     alphabet="TGCA",
     chunk_size: Optional[int] = None,
+    algorithm: str = "adalead",
+    algorithm_kwargs: Optional[dict] = None,
+    model: str = "nam",
+    surrogate_spec=None,
 ) -> pd.DataFrame:
     """Robustness evaluator over TF-binding landscapes as one sharded sweep.
 
@@ -486,8 +513,37 @@ def run_robustness_sweep(
     Returns a summary DataFrame with one row per cell (max/final fitness,
     costs) — the quantities the reference's analysis notebooks extract from
     per-run CSVs.
+
+    `algorithm`/`algorithm_kwargs`/`model`/`surrogate_spec` select any
+    fused explorer x model combination (the reference evaluators accept an
+    arbitrary explorer factory, evaluate.py:8-20); the defaults keep the
+    packed-table Adalead+NAM fast path, other combinations route through
+    `run_landscape_robustness_sweep`.
     """
     from flexs_tpu.landscapes import tf_binding
+
+    if algorithm != "adalead" or algorithm_kwargs or model != "nam":
+        lands = []
+        for n in landscape_names:
+            land = tf_binding.TFBinding(name=n)
+            land.name = n  # summary rows report the problem, not the family
+            lands.append(land)
+        return run_landscape_robustness_sweep(
+            lands,
+            alphabet,
+            starts=starts,
+            signal_strengths=list(signal_strengths),
+            seeds=list(seeds),
+            rounds=rounds,
+            sequences_batch_size=sequences_batch_size,
+            model_queries_per_batch=model_queries_per_batch,
+            mesh=mesh,
+            chunk_size=chunk_size,
+            algorithm=algorithm,
+            algorithm_kwargs=algorithm_kwargs,
+            model=model,
+            surrogate_spec=surrogate_spec,
+        )
 
     alpha: Alphabet = as_alphabet(alphabet)
     names, packed = tf_binding._packed_tables()

@@ -44,6 +44,7 @@ import pandas as pd
 from flexs_tpu.alphabet import Alphabet, as_alphabet
 from flexs_tpu.ops import packed_hamming
 from flexs_tpu.runtime import jit_runner
+from flexs_tpu.runtime import surrogate as surrogate_lib
 from flexs_tpu.runtime.jit_runner import RunResult, device_run_args, fetch_run_result, _dists_to_cache, _masked_append
 from flexs_tpu.utils.vae import VAEModule
 
@@ -232,7 +233,11 @@ def run_cbas_nam(
         return jnp.nan_to_num(logp)
 
     # --- NAM query (batched, masked; same semantics as jit_runner) ----------
-    def nam_query(cache, costs, tokens, mask, key):
+    def nam_query(cache, costs, tokens, mask, key, surr=None):
+        """Surrogate mode: every row is a fresh forward through the
+        carried net (it retrains between rounds, so stale cached
+        predictions must never be served); the cache still tracks seen
+        sequences; no landscape cost accrues."""
         cache_tokens, cache_pk, cache_vals, cache_truth, n_cache = cache
         model_cost, landscape_cost = costs
 
@@ -243,10 +248,14 @@ def run_cbas_nam(
         cached = min_dist == 0
         cached_vals = cache_vals[nearest]
 
-        signal = fitness_fn(fitness_params, tokens)
-        if cfg.perfect_model:
+        if cfg.surrogate is not None:
+            signal = surrogate_lib.predict(cfg.surrogate, A, surr, tokens)
+            values = signal
+        elif cfg.perfect_model:
+            signal = fitness_fn(fitness_params, tokens)
             values = jnp.where(cached, cached_vals, signal)
         else:
+            signal = fitness_fn(fitness_params, tokens)
             key, k_exp, k_choice = jax.random.split(key, 3)
             expo = jax.random.exponential(k_exp, (tokens.shape[0],))
             rand_idx = jax.random.randint(
@@ -274,7 +283,7 @@ def run_cbas_nam(
         )
         pos = jnp.where(cached, nearest, pos)
         model_cost = model_cost + jnp.sum(mask)
-        if not cfg.perfect_model:
+        if not cfg.perfect_model and cfg.surrogate is None:
             landscape_cost = landscape_cost + 2 * jnp.sum(insert)
         return (
             (cache_tokens, cache_pk, cache_vals, cache_truth, n_cache),
@@ -373,7 +382,7 @@ def run_cbas_nam(
         return draw
 
     # --- rounds ---------------------------------------------------------------
-    def round_zero(carry_vae, cache, costs, key):
+    def round_zero(carry_vae, cache, costs, key, surr=None):
         """B novel rate-2/L mutants of the start (reference :91-104)."""
         buf = jnp.zeros((B + 1, L), jnp.int32)
         buf_pk = jnp.zeros((B + 1, words), jnp.uint32)
@@ -391,10 +400,12 @@ def run_cbas_nam(
         )
         proposals = buf[:B]
         valid = jnp.arange(B) < n_buf
-        cache, costs, preds, _ = nam_query(cache, costs, proposals, valid, k_nam)
+        cache, costs, preds, _ = nam_query(
+            cache, costs, proposals, valid, k_nam, surr
+        )
         return proposals, preds, valid, cache, costs, carry_vae, key
 
-    def round_cbas(carry_vae, cache, costs, prev, key):
+    def round_cbas(carry_vae, cache, costs, prev, key, surr=None):
         """Elite pool -> VAE -> generate/score/reweight cycles (:106-192)."""
         variables, opt_state = carry_vae
         prev_tokens, prev_truth, prev_valid = prev
@@ -532,7 +543,7 @@ def run_cbas_nam(
 
             key, k_nam = jax.random.split(key)
             cache, costs, scores, _ = nam_query(
-                cache, costs, proposals, valid, k_nam
+                cache, costs, proposals, valid, k_nam, surr
             )
             gamma = jnp.maximum(_masked_percentile(scores, valid, Q), gamma)
 
@@ -626,13 +637,23 @@ def run_cbas_nam(
             costs,
             carry_vae,
             prev,
+            surr_state,
             key,
         ) = carry
 
+        # Surrogate mode: warm-started multi-epoch fit on the measured
+        # buffer at round start (reference explorer.py:157-160).
+        if cfg.surrogate is not None:
+            key, k_fit = jax.random.split(key)
+            surr_state = surrogate_lib.train(
+                cfg.surrogate, A, surr_state,
+                measured_tokens, measured_truth, n_measured, k_fit,
+            )
+
         proposals, preds, valid, cache, costs, carry_vae, key = jax.lax.cond(
             r == 0,
-            lambda: round_zero(carry_vae, cache, costs, key),
-            lambda: round_cbas(carry_vae, cache, costs, prev, key),
+            lambda: round_zero(carry_vae, cache, costs, key, surr_state),
+            lambda: round_cbas(carry_vae, cache, costs, prev, key, surr_state),
         )
 
         truth = jnp.where(valid, fitness_fn(fitness_params, proposals), -jnp.inf)
@@ -651,8 +672,15 @@ def run_cbas_nam(
             (model_cost, landscape_cost),
             carry_vae,
             (proposals, truth, valid),
+            surr_state,
             key,
         ), out
+
+    if cfg.surrogate is not None:
+        key, k_surr = jax.random.split(key)
+        surr0 = surrogate_lib.init_state(cfg.surrogate, A, L, k_surr)
+    else:
+        surr0 = ()
 
     init_prev = (
         jnp.zeros((B, L), jnp.int32),
@@ -667,6 +695,7 @@ def run_cbas_nam(
         (jnp.int32(0), jnp.int32(1)),
         (variables, opt_state),
         init_prev,
+        surr0,
         key,
     )
     _, outs = jax.lax.scan(round_body, init, jnp.arange(R))
@@ -691,17 +720,26 @@ class DeviceCbASNAM:
         vae_cfg: VAEConfig = None,
         signal_strength: float = 0.9,
         model: str = "nam",
+        surrogate_spec=None,
         seed: int = 0,
     ):
-        """Create the fused CbAS/DbAS runner for `landscape`."""
-        if model not in ("nam", "perfect"):
-            raise ValueError("model must be 'nam' or 'perfect'")
+        """Create the fused CbAS/DbAS runner for `landscape`.
+
+        `model="surrogate"` carries an in-program trained empirical net
+        (default = the paper's CNN) that scores the VAE samples.
+        """
+        if model not in ("nam", "perfect", "surrogate"):
+            raise ValueError("model must be 'nam', 'perfect' or 'surrogate'")
+        if model == "surrogate" and surrogate_spec is None:
+            surrogate_spec = surrogate_lib.SurrogateSpec()
         if algo not in ("cbas", "dbas"):
             raise ValueError("`algo` must be one of 'cbas' or 'dbas'")
         self.landscape = landscape
         self.alphabet: Alphabet = as_alphabet(alphabet)
         self.starting_sequence = starting_sequence
-        self.signal_strength = 1.0 if model == "perfect" else signal_strength
+        self.signal_strength = (
+            1.0 if model in ("perfect", "surrogate") else signal_strength
+        )
         self.algo = algo
         self.Q = Q
         self.cycle_batch_size = cycle_batch_size
@@ -709,17 +747,19 @@ class DeviceCbASNAM:
         self.vae_cfg = vae_cfg or VAEConfig()
         self.seed = seed
         self.name = f"Device{algo}_Q={Q}"
-        self.model_name = (
-            f"LandscapeAsModel={landscape.name}"
-            if model == "perfect"
-            else f"NAMb_ss{signal_strength}"
-        )
+        if model == "perfect":
+            self.model_name = f"LandscapeAsModel={landscape.name}"
+        elif model == "surrogate":
+            self.model_name = surrogate_spec.model_name
+        else:
+            self.model_name = f"NAMb_ss{signal_strength}"
         self.cfg = jit_runner.AdaleadConfig(
             rounds=rounds,
             sequences_batch_size=sequences_batch_size,
             model_queries_per_batch=model_queries_per_batch,
             alphabet_size=len(self.alphabet),
             perfect_model=(model == "perfect"),
+            surrogate=surrogate_spec if model == "surrogate" else None,
         )
         self._fitness_fn, self._fitness_params = landscape.device_fitness()
 

@@ -38,6 +38,7 @@ from flexs_tpu.alphabet import Alphabet, as_alphabet
 from flexs_tpu.baselines.explorers.dqn import QNetwork, _clip_by_l1_norm
 from flexs_tpu.ops import packed_hamming
 from flexs_tpu.runtime import jit_runner
+from flexs_tpu.runtime import surrogate as surrogate_lib
 from flexs_tpu.runtime.jit_runner import RunResult, device_run_args, fetch_run_result, _dists_to_cache, _masked_append
 
 
@@ -116,8 +117,14 @@ def run_dqn_nam(
     key, init_key = jax.random.split(key)
     q_params = q_module.init(init_key, jnp.zeros((1, 2 * dim), jnp.float32))
 
-    def nam_query_one(cache, costs, tokens, key):
-        """NAM scoring of a single sequence (int[L])."""
+    def nam_query_one(cache, costs, tokens, key, surr=None):
+        """NAM scoring of a single sequence (int[L]).
+
+        Surrogate mode: a fresh forward through the carried net (it
+        retrains between rounds, so stale cached predictions must never
+        be served); the cache still tracks seen sequences; no landscape
+        cost accrues.
+        """
         cache_tokens, cache_pk, cache_vals, cache_truth, n_cache = cache
         model_cost, landscape_cost = costs
 
@@ -128,10 +135,14 @@ def run_dqn_nam(
         nearest = jnp.argmin(dists)
         cached = min_dist == 0
 
-        signal = fitness_fn(fitness_params, tokens_b)[0]
-        if cfg.perfect_model:
+        if cfg.surrogate is not None:
+            signal = surrogate_lib.predict(cfg.surrogate, A, surr, tokens_b)[0]
+            value = signal
+        elif cfg.perfect_model:
+            signal = fitness_fn(fitness_params, tokens_b)[0]
             value = jnp.where(cached, cache_vals[nearest], signal)
         else:
+            signal = fitness_fn(fitness_params, tokens_b)[0]
             key, k_exp, k_choice = jax.random.split(key, 3)
             expo = jax.random.exponential(k_exp, ())
             rand_idx = jax.random.randint(k_choice, (), 0, jnp.maximum(n_cache, 1))
@@ -156,7 +167,7 @@ def run_dqn_nam(
             )
         )
         model_cost = model_cost + 1
-        if not cfg.perfect_model:
+        if not cfg.perfect_model and cfg.surrogate is None:
             landscape_cost = landscape_cost + 2 * insert.astype(jnp.int32)
         return (
             (cache_tokens, cache_pk, cache_vals, cache_truth, n_cache),
@@ -224,9 +235,19 @@ def run_dqn_nam(
             best_fitness,
             model_cost,
             landscape_cost,
+            surr_state,
             key,
         ) = carry
         round_start_cost = model_cost
+
+        # Surrogate mode: warm-started multi-epoch fit on the measured
+        # buffer at round start (reference explorer.py:157-160).
+        if cfg.surrogate is not None:
+            key, k_fit = jax.random.split(key)
+            surr_state = surrogate_lib.train(
+                cfg.surrogate, A, surr_state,
+                measured_tokens, measured_truth, n_measured, k_fit,
+            )
 
         gen_tokens = jnp.zeros((gen_cap, L), jnp.int32)
         gen_preds = jnp.full((gen_cap,), -jnp.inf, jnp.float32)
@@ -279,7 +300,9 @@ def run_dqn_nam(
             act_val = jnp.where(any_move, moves.reshape(-1)[flat], 1.0)
             new_walk = walk.at[pos].set(res)
 
-            cache, costs, reward, cpos = nam_query_one(cache, costs, new_walk, k_nam)
+            cache, costs, reward, cpos = nam_query_one(
+                cache, costs, new_walk, k_nam, surr_state
+            )
 
             # Novelty vs measured + this run's proposals (gen pool).
             new_pk = pack(new_walk[None])
@@ -413,8 +436,15 @@ def run_dqn_nam(
             best_fitness,
             model_cost,
             landscape_cost,
+            surr_state,
             key,
         ), out
+
+    if cfg.surrogate is not None:
+        key, k_init = jax.random.split(key)
+        surr0 = surrogate_lib.init_state(cfg.surrogate, A, L, k_init)
+    else:
+        surr0 = ()
 
     init = (
         measured_tokens,
@@ -428,6 +458,7 @@ def run_dqn_nam(
         jnp.float32(0.0),
         jnp.int32(0),
         jnp.int32(1),
+        surr0,
         key,
     )
     _, outs = jax.lax.scan(round_body, init, None, length=R)
@@ -450,31 +481,42 @@ class DeviceDQNNAM:
         gamma: float = 0.9,
         signal_strength: float = 0.9,
         model: str = "nam",
+        surrogate_spec=None,
         seed: int = 0,
     ):
-        """Create the fused DQN runner for `landscape`."""
-        if model not in ("nam", "perfect"):
-            raise ValueError("model must be 'nam' or 'perfect'")
+        """Create the fused DQN runner for `landscape`.
+
+        `model="surrogate"` carries an in-program trained empirical net
+        (default = the paper's CNN) that supplies the per-step rewards.
+        """
+        if model not in ("nam", "perfect", "surrogate"):
+            raise ValueError("model must be 'nam', 'perfect' or 'surrogate'")
+        if model == "surrogate" and surrogate_spec is None:
+            surrogate_spec = surrogate_lib.SurrogateSpec()
         self.landscape = landscape
         self.alphabet: Alphabet = as_alphabet(alphabet)
         self.starting_sequence = starting_sequence
-        self.signal_strength = 1.0 if model == "perfect" else signal_strength
+        self.signal_strength = (
+            1.0 if model in ("perfect", "surrogate") else signal_strength
+        )
         self.memory_size = memory_size
         self.train_epochs = train_epochs
         self.gamma = gamma
         self.seed = seed
         self.name = "DeviceDQN_Explorer"
-        self.model_name = (
-            f"LandscapeAsModel={landscape.name}"
-            if model == "perfect"
-            else f"NAMb_ss{signal_strength}"
-        )
+        if model == "perfect":
+            self.model_name = f"LandscapeAsModel={landscape.name}"
+        elif model == "surrogate":
+            self.model_name = surrogate_spec.model_name
+        else:
+            self.model_name = f"NAMb_ss{signal_strength}"
         self.cfg = jit_runner.AdaleadConfig(
             rounds=rounds,
             sequences_batch_size=sequences_batch_size,
             model_queries_per_batch=model_queries_per_batch,
             alphabet_size=len(self.alphabet),
             perfect_model=(model == "perfect"),
+            surrogate=surrogate_spec if model == "surrogate" else None,
         )
         self._fitness_fn, self._fitness_params = landscape.device_fitness()
 

@@ -88,6 +88,13 @@ def run_dyna_ppo_nam(
     entropy_coef: float = 0.01,
 ) -> RunResult:
     """Run a full constructive DynaPPO + NAM experiment on device."""
+    if cfg.surrogate is not None:
+        raise ValueError(
+            "DynaPPO trains its own internal model ensemble (the r^2-gated "
+            "member pool IS the trained surrogate, reference "
+            "dyna_ppo.py:57-109); model='surrogate' does not apply. Use "
+            "model='nam' or 'perfect'."
+        )
     B = cfg.sequences_batch_size
     budget = cfg.model_queries_per_batch
     A = cfg.alphabet_size

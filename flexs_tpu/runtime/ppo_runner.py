@@ -38,6 +38,7 @@ from flexs_tpu.alphabet import Alphabet, as_alphabet
 from flexs_tpu.ops import packed_hamming
 from flexs_tpu.rl.ppo import ActorCritic
 from flexs_tpu.runtime import jit_runner
+from flexs_tpu.runtime import surrogate as surrogate_lib
 from flexs_tpu.runtime.jit_runner import RunResult, device_run_args, fetch_run_result, _dists_to_cache, _masked_append
 
 
@@ -90,7 +91,11 @@ def run_ppo_nam(
         return jax.nn.one_hot(tokens, A, dtype=jnp.float32).reshape(-1)
 
     # --- NAM query of ONE sequence (dqn_runner pattern) ----------------------
-    def nam_query_one(cache, costs, tokens, key):
+    def nam_query_one(cache, costs, tokens, key, surr=None):
+        """Surrogate mode: a fresh forward through the carried net (it
+        retrains between rounds, so stale cached predictions must never be
+        served); the cache still tracks seen sequences; no landscape cost
+        accrues."""
         cache_tokens, cache_pk, cache_vals, cache_truth, n_cache = cache
         model_cost, landscape_cost = costs
 
@@ -101,10 +106,14 @@ def run_ppo_nam(
         nearest = jnp.argmin(dists)
         cached = min_dist == 0
 
-        signal = fitness_fn(fitness_params, tokens_b)[0]
-        if cfg.perfect_model:
+        if cfg.surrogate is not None:
+            signal = surrogate_lib.predict(cfg.surrogate, A, surr, tokens_b)[0]
+            value = signal
+        elif cfg.perfect_model:
+            signal = fitness_fn(fitness_params, tokens_b)[0]
             value = jnp.where(cached, cache_vals[nearest], signal)
         else:
+            signal = fitness_fn(fitness_params, tokens_b)[0]
             key, k_exp, k_choice = jax.random.split(key, 3)
             expo = jax.random.exponential(k_exp, ())
             rand_idx = jax.random.randint(k_choice, (), 0, jnp.maximum(n_cache, 1))
@@ -129,7 +138,7 @@ def run_ppo_nam(
             )
         )
         model_cost = model_cost + 1
-        if not cfg.perfect_model:
+        if not cfg.perfect_model and cfg.surrogate is None:
             landscape_cost = landscape_cost + 2 * insert.astype(jnp.int32)
         return (
             (cache_tokens, cache_pk, cache_vals, cache_truth, n_cache),
@@ -193,9 +202,19 @@ def run_ppo_nam(
             opt_state,
             obs_stats,
             seed_tokens,
+            surr_state,
             key,
         ) = carry
         round_start_cost = costs[0]
+
+        # Surrogate mode: warm-started multi-epoch fit on the measured
+        # buffer at round start (reference explorer.py:157-160).
+        if cfg.surrogate is not None:
+            key, k_fit = jax.random.split(key)
+            surr_state = surrogate_lib.train(
+                cfg.surrogate, A, surr_state,
+                measured_tokens, measured_truth, n_measured, k_fit,
+            )
 
         traj = {
             "obs_tokens": jnp.zeros((traj_cap, L), jnp.int32),
@@ -232,7 +251,9 @@ def run_ppo_nam(
             def do_reset(args):
                 (cache, costs, key) = args
                 key, k_nam = jax.random.split(key)
-                cache, costs, fit = nam_query_one(cache, costs, seed_tokens, k_nam)
+                cache, costs, fit = nam_query_one(
+                    cache, costs, seed_tokens, k_nam, surr_state
+                )
                 return (
                     cache,
                     costs,
@@ -283,7 +304,9 @@ def run_ppo_nam(
             def score(args):
                 cache, costs, key = args
                 key, k_nam = jax.random.split(key)
-                cache, costs, fit = nam_query_one(cache, costs, new_walk, k_nam)
+                cache, costs, fit = nam_query_one(
+                    cache, costs, new_walk, k_nam, surr_state
+                )
                 return cache, costs, key, fit
 
             cache, costs, key, new_fitness = jax.lax.cond(
@@ -513,8 +536,15 @@ def run_ppo_nam(
             opt_state,
             obs_stats,
             seed_tokens,
+            surr_state,
             key,
         ), out
+
+    if cfg.surrogate is not None:
+        key, k_init = jax.random.split(key)
+        surr0 = surrogate_lib.init_state(cfg.surrogate, A, L, k_init)
+    else:
+        surr0 = ()
 
     init = (
         measured_tokens,
@@ -526,6 +556,7 @@ def run_ppo_nam(
         opt_state,
         obs_stats,
         start_tokens,
+        surr0,
         key,
     )
     _, outs = jax.lax.scan(round_body, init, None, length=R)
@@ -546,29 +577,40 @@ class DevicePPONAM:
         train_epochs: int = 10,
         signal_strength: float = 0.9,
         model: str = "nam",
+        surrogate_spec=None,
         seed: int = 0,
     ):
-        """Create the fused PPO runner for `landscape`."""
-        if model not in ("nam", "perfect"):
-            raise ValueError("model must be 'nam' or 'perfect'")
+        """Create the fused PPO runner for `landscape`.
+
+        `model="surrogate"` carries an in-program trained empirical net
+        (default = the paper's CNN) that supplies the per-step rewards.
+        """
+        if model not in ("nam", "perfect", "surrogate"):
+            raise ValueError("model must be 'nam', 'perfect' or 'surrogate'")
+        if model == "surrogate" and surrogate_spec is None:
+            surrogate_spec = surrogate_lib.SurrogateSpec()
         self.landscape = landscape
         self.alphabet: Alphabet = as_alphabet(alphabet)
         self.starting_sequence = starting_sequence
-        self.signal_strength = 1.0 if model == "perfect" else signal_strength
+        self.signal_strength = (
+            1.0 if model in ("perfect", "surrogate") else signal_strength
+        )
         self.train_epochs = train_epochs
         self.seed = seed
         self.name = "DevicePPO_Agent"
-        self.model_name = (
-            f"LandscapeAsModel={landscape.name}"
-            if model == "perfect"
-            else f"NAMb_ss{signal_strength}"
-        )
+        if model == "perfect":
+            self.model_name = f"LandscapeAsModel={landscape.name}"
+        elif model == "surrogate":
+            self.model_name = surrogate_spec.model_name
+        else:
+            self.model_name = f"NAMb_ss{signal_strength}"
         self.cfg = jit_runner.AdaleadConfig(
             rounds=rounds,
             sequences_batch_size=sequences_batch_size,
             model_queries_per_batch=model_queries_per_batch,
             alphabet_size=len(self.alphabet),
             perfect_model=(model == "perfect"),
+            surrogate=surrogate_spec if model == "surrogate" else None,
         )
         self._fitness_fn, self._fitness_params = landscape.device_fitness()
 

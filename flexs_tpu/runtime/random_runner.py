@@ -20,6 +20,7 @@ import pandas as pd
 from flexs_tpu.alphabet import Alphabet, as_alphabet
 from flexs_tpu.ops import packed_hamming
 from flexs_tpu.runtime import jit_runner
+from flexs_tpu.runtime import surrogate as surrogate_lib
 from flexs_tpu.runtime.jit_runner import RunResult, device_run_args, fetch_run_result, _dists_to_cache, _masked_append
 
 
@@ -75,8 +76,14 @@ def run_random_nam(
     cache_truth = jnp.zeros((cache_cap,), jnp.float32).at[0].set(start_truth)
     n_cache = jnp.int32(1)
 
-    def nam_query(cache, costs, tokens, mask, key):
-        """NAM semantics identical to jit_runner (see there for citations)."""
+    def nam_query(cache, costs, tokens, mask, key, surr=None):
+        """NAM semantics identical to jit_runner (see there for citations).
+
+        Surrogate mode: every row is a fresh forward through the carried
+        net (it retrains between rounds, so stale cached predictions must
+        never be served); the cache still tracks seen sequences for
+        novelty rejection, and no landscape cost accrues.
+        """
         cache_tokens, cache_pk, cache_vals, cache_truth, n_cache = cache
         model_cost, landscape_cost = costs
 
@@ -86,10 +93,14 @@ def run_random_nam(
         nearest = jnp.argmin(dists, axis=1)
         cached = min_dist == 0
 
-        signal = fitness_fn(fitness_params, tokens)
-        if cfg.perfect_model:
+        if cfg.surrogate is not None:
+            signal = surrogate_lib.predict(cfg.surrogate, A, surr, tokens)
+            values = signal
+        elif cfg.perfect_model:
+            signal = fitness_fn(fitness_params, tokens)
             values = jnp.where(cached, cache_vals[nearest], signal)
         else:
+            signal = fitness_fn(fitness_params, tokens)
             key, k_exp, k_choice = jax.random.split(key, 3)
             expo = jax.random.exponential(k_exp, (tokens.shape[0],))
             rand_idx = jax.random.randint(
@@ -116,7 +127,7 @@ def run_random_nam(
             )
         )
         model_cost = model_cost + jnp.sum(mask)
-        if not cfg.perfect_model:
+        if not cfg.perfect_model and cfg.surrogate is None:
             landscape_cost = landscape_cost + 2 * jnp.sum(insert)
         return (
             (cache_tokens, cache_pk, cache_vals, cache_truth, n_cache),
@@ -133,9 +144,19 @@ def run_random_nam(
             cache,
             model_cost,
             landscape_cost,
+            surr_state,
             key,
         ) = carry
         round_start_cost = model_cost
+
+        # Surrogate mode: warm-started multi-epoch fit on the measured
+        # buffer at round start (reference explorer.py:157-160).
+        if cfg.surrogate is not None:
+            key, k_fit = jax.random.split(key)
+            surr_state = surrogate_lib.train(
+                cfg.surrogate, A, surr_state,
+                measured_tokens, measured_truth, n_measured, k_fit,
+            )
 
         gen_tokens = jnp.zeros((gen_cap, L), jnp.int32)
         gen_preds = jnp.full((gen_cap,), -jnp.inf, jnp.float32)
@@ -180,7 +201,9 @@ def run_random_nam(
             dup = jnp.any(jnp.tril(eq_self, k=-1) & novel[None, :], axis=1)
             keep = novel & ~dup
 
-            cache, costs, vals, pos = nam_query(cache, costs, children, keep, k_nam)
+            cache, costs, vals, pos = nam_query(
+                cache, costs, children, keep, k_nam, surr_state
+            )
             gen_tokens, _, n_gen, (gen_preds, gen_cache_pos) = _masked_append(
                 gen_tokens,
                 children,
@@ -252,8 +275,15 @@ def run_random_nam(
             cache,
             model_cost,
             landscape_cost,
+            surr_state,
             key,
         ), out
+
+    if cfg.surrogate is not None:
+        key, k_init = jax.random.split(key)
+        surr0 = surrogate_lib.init_state(cfg.surrogate, A, L, k_init)
+    else:
+        surr0 = ()
 
     init = (
         measured_tokens,
@@ -262,6 +292,7 @@ def run_random_nam(
         (cache_tokens, cache_pk, cache_vals, cache_truth, n_cache),
         jnp.int32(0),
         jnp.int32(1),
+        surr0,
         key,
     )
     _, outs = jax.lax.scan(round_body, init, None, length=R)
@@ -283,32 +314,43 @@ class DeviceRandomNAM:
         batch: int = 64,
         signal_strength: float = 0.9,
         model: str = "nam",
+        surrogate_spec=None,
         elitist: bool = True,
         seed: int = 0,
     ):
-        """Create the fused Random runner for `landscape`."""
-        if model not in ("nam", "perfect"):
-            raise ValueError("model must be 'nam' or 'perfect'")
+        """Create the fused Random runner for `landscape`.
+
+        `model="surrogate"` carries an in-program trained empirical net
+        (default = the paper's CNN) that scores the generated pool.
+        """
+        if model not in ("nam", "perfect", "surrogate"):
+            raise ValueError("model must be 'nam', 'perfect' or 'surrogate'")
+        if model == "surrogate" and surrogate_spec is None:
+            surrogate_spec = surrogate_lib.SurrogateSpec()
         self.elitist = elitist
         self.landscape = landscape
         self.alphabet: Alphabet = as_alphabet(alphabet)
         self.starting_sequence = starting_sequence
-        self.signal_strength = 1.0 if model == "perfect" else signal_strength
+        self.signal_strength = (
+            1.0 if model in ("perfect", "surrogate") else signal_strength
+        )
         self.mu = mu
         self.batch = batch
         self.seed = seed
         self.name = f"DeviceRandom_mu={mu}"
-        self.model_name = (
-            f"LandscapeAsModel={landscape.name}"
-            if model == "perfect"
-            else f"NAMb_ss{signal_strength}"
-        )
+        if model == "perfect":
+            self.model_name = f"LandscapeAsModel={landscape.name}"
+        elif model == "surrogate":
+            self.model_name = surrogate_spec.model_name
+        else:
+            self.model_name = f"NAMb_ss{signal_strength}"
         self.cfg = jit_runner.AdaleadConfig(
             rounds=rounds,
             sequences_batch_size=sequences_batch_size,
             model_queries_per_batch=model_queries_per_batch,
             alphabet_size=len(self.alphabet),
             perfect_model=(model == "perfect"),
+            surrogate=surrogate_spec if model == "surrogate" else None,
         )
         self._fitness_fn, self._fitness_params = landscape.device_fitness()
 

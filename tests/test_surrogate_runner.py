@@ -203,6 +203,100 @@ def test_device_bo_surrogate_ensemble(landscape, method):
     assert df["measurement_cost"].max() == len(df)
 
 
+def test_device_random_surrogate(landscape):
+    from flexs_tpu.runtime.random_runner import DeviceRandomNAM
+
+    explorer = DeviceRandomNAM(
+        landscape,
+        "TGCA",
+        rounds=2,
+        sequences_batch_size=8,
+        model_queries_per_batch=40,
+        starting_sequence=tf_binding.STARTS[0],
+        batch=16,
+        model="surrogate",
+        surrogate_spec=TINY_CNN,
+    )
+    assert explorer.model_name == "CNN_hidden_size_16_num_filters_8"
+    df, _ = explorer.run(verbose=False)
+    assert df["true_score"].max() >= df["true_score"].iloc[0]
+    # Landscape pays only for measurements, never for surrogate queries.
+    assert df["measurement_cost"].max() == len(df)
+    assert (df[df["round"] > 0]["model_cost"] > 0).all()
+
+
+def test_device_dqn_surrogate(landscape):
+    from flexs_tpu.runtime.dqn_runner import DeviceDQNNAM
+
+    explorer = DeviceDQNNAM(
+        landscape,
+        "TGCA",
+        rounds=2,
+        sequences_batch_size=8,
+        model_queries_per_batch=30,
+        starting_sequence=tf_binding.STARTS[0],
+        memory_size=256,
+        train_epochs=3,
+        model="surrogate",
+        surrogate_spec=TINY_CNN,
+    )
+    df, _ = explorer.run(verbose=False)
+    assert df["measurement_cost"].max() == len(df)
+
+
+def test_device_ppo_surrogate(landscape):
+    from flexs_tpu.runtime.ppo_runner import DevicePPONAM
+
+    explorer = DevicePPONAM(
+        landscape,
+        "TGCA",
+        rounds=2,
+        sequences_batch_size=8,
+        model_queries_per_batch=30,
+        starting_sequence=tf_binding.STARTS[0],
+        train_epochs=3,
+        model="surrogate",
+        surrogate_spec=TINY_CNN,
+    )
+    df, _ = explorer.run(verbose=False)
+    assert df["measurement_cost"].max() == len(df)
+
+
+def test_device_cbas_surrogate(landscape):
+    from flexs_tpu.runtime.cbas_runner import DeviceCbASNAM, VAEConfig
+
+    explorer = DeviceCbASNAM(
+        landscape,
+        "TGCA",
+        rounds=2,
+        sequences_batch_size=8,
+        model_queries_per_batch=40,
+        starting_sequence=tf_binding.STARTS[0],
+        cycle_batch_size=20,
+        vae_cfg=VAEConfig(epochs=2, batch_size=10),
+        model="surrogate",
+        surrogate_spec=TINY_CNN,
+    )
+    df, _ = explorer.run(verbose=False)
+    assert df["measurement_cost"].max() == len(df)
+
+
+def test_dynappo_surrogate_raises(landscape):
+    """DynaPPO's internal ensemble IS the trained surrogate — explicit error."""
+    with pytest.raises(ValueError, match="internal model ensemble"):
+        run_landscape_robustness_sweep(
+            [landscape],
+            "TGCA",
+            starts=tf_binding.STARTS[:1],
+            signal_strengths=[1.0],
+            rounds=2,
+            sequences_batch_size=4,
+            model_queries_per_batch=20,
+            algorithm="dynappo",
+            model="surrogate",
+        )
+
+
 def test_surrogate_sweep_cmaes(landscape):
     df = run_landscape_robustness_sweep(
         [landscape],

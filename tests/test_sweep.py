@@ -94,3 +94,42 @@ def test_adaptivity_sweep_round_splits():
     )
     assert set(df["rounds"]) == {1, 2}
     assert (df["max_fitness"] >= df["start_fitness"]).all()
+
+
+def test_robustness_sweep_algorithm_model_routing():
+    """Non-default algorithm/model routes through the generic sweep with
+    the same summary schema and per-problem landscape names."""
+    from flexs_tpu.parallel import run_robustness_sweep
+
+    df = run_robustness_sweep(
+        landscape_names=["SIX6_REF_R1"],
+        starts=tf_binding.STARTS[:1],
+        signal_strengths=[1.0],
+        rounds=2,
+        sequences_batch_size=5,
+        model_queries_per_batch=20,
+        algorithm="ga",
+        algorithm_kwargs={"population_size": 10},
+        model="perfect",
+    )
+    assert list(df["landscape"]) == ["SIX6_REF_R1"]
+    assert {"max_fitness", "start_fitness", "model_cost", "landscape_cost"} <= set(
+        df.columns
+    )
+    assert (df["max_fitness"] >= df["start_fitness"]).all()
+
+
+def test_efficiency_sweep_algorithm_passthrough():
+    from flexs_tpu.parallel import run_efficiency_sweep
+
+    df = run_efficiency_sweep(
+        landscape_names=["SIX6_REF_R1"],
+        starts=tf_binding.STARTS[:1],
+        budgets=[(5, 20)],
+        rounds=2,
+        algorithm="random",
+        algorithm_kwargs={"batch": 8},
+        model="perfect",
+    )
+    assert len(df) == 1
+    assert (df["max_fitness"] >= df["start_fitness"]).all()
