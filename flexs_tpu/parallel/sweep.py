@@ -14,6 +14,9 @@ into the shared stacked table array, so a 158-landscape sweep holds one
 [158, 65536] f32 array regardless of grid size.
 """
 import functools
+import hashlib
+import json
+import os
 from functools import partial
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
@@ -222,6 +225,53 @@ def _cell_runner(algorithm: str, algorithm_kwargs: tuple):
     raise ValueError(f"unknown fused algorithm {algorithm!r}")
 
 
+def _sweep_signature(
+    algorithm, algorithm_kwargs, model, surrogate_spec, cfg, chunk_size,
+    land_idx, start_tokens, ss_arr, seed_arr,
+) -> str:
+    """Stable signature of everything that determines a sweep's results."""
+    h = hashlib.sha256()
+    h.update(
+        json.dumps(
+            {
+                "algorithm": algorithm,
+                "algorithm_kwargs": sorted((algorithm_kwargs or {}).items()),
+                "model": model,
+                "surrogate_spec": list(surrogate_spec) if surrogate_spec else None,
+                "cfg": list(cfg._asdict().items())[:4],  # static scalars
+                "chunk_size": chunk_size,
+            },
+            default=str,
+            sort_keys=True,
+        ).encode()
+    )
+    for arr in (land_idx, start_tokens, ss_arr, seed_arr):
+        h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()
+
+
+def _checkpoint_chunk_path(checkpoint_dir: str, i: int) -> str:
+    return os.path.join(checkpoint_dir, f"chunk_{i:05d}.npz")
+
+
+def _init_checkpoint_dir(checkpoint_dir: str, signature: str) -> None:
+    """Create the dir and pin the sweep signature; reject a mismatched resume."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    manifest = os.path.join(checkpoint_dir, "manifest.json")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            prev = json.load(f)
+        if prev.get("signature") != signature:
+            raise ValueError(
+                f"checkpoint_dir {checkpoint_dir!r} holds chunks of a "
+                "DIFFERENT sweep (grid/algorithm/model/budget changed); "
+                "clear it or point at a fresh directory"
+            )
+    elif jax.process_index() == 0:
+        with open(manifest, "w") as f:
+            json.dump({"signature": signature}, f)
+
+
 @partial(jax.jit, static_argnames=("cfg", "fitness_fn", "cell_fn", "mesh"))
 def _sweep_generic_impl(
     stacked_params, start_tokens, signal_strengths, keys, cfg, fitness_fn,
@@ -264,6 +314,7 @@ def run_landscape_robustness_sweep(
     algorithm_kwargs: Optional[dict] = None,
     model: str = "nam",
     surrogate_spec=None,
+    checkpoint_dir: Optional[str] = None,
 ) -> pd.DataFrame:
     """Robustness sweep over ANY family of device-fitness landscapes.
 
@@ -285,6 +336,15 @@ def run_landscape_robustness_sweep(
     algorithms support all three modes except dynappo/dynappo_mutative,
     which train their own internal ensemble (that pool IS the trained
     surrogate) and raise on model="surrogate".
+
+    `checkpoint_dir` makes chunked sweeps preemption-safe: each completed
+    chunk's host-gathered results are written to
+    `<dir>/chunk_<i>.npz` and a rerun of the SAME sweep (same grid,
+    algorithm, model, budgets — enforced via a manifest signature) skips
+    straight past completed chunks.  Most useful with `chunk_size` set on
+    long surrogate sweeps.  Single-host feature: with multiple JAX
+    processes only process 0 writes (all processes must share the
+    filesystem to benefit from resume).
     """
     alpha: Alphabet = as_alphabet(alphabet)
     fns_params = [land.device_fitness() for land in landscapes]
@@ -342,8 +402,23 @@ def run_landscape_robustness_sweep(
     else:
         slices = [slice(i, min(i + chunk_size, n)) for i in range(0, n, chunk_size)]
 
+    if checkpoint_dir is not None:
+        _init_checkpoint_dir(
+            checkpoint_dir,
+            _sweep_signature(
+                algorithm, algorithm_kwargs, model, surrogate_spec, cfg,
+                chunk_size, land_idx, start_tokens, ss_arr, seed_arr,
+            ),
+        )
+
     results = []
-    for sl in slices:
+    for ci, sl in enumerate(slices):
+        if checkpoint_dir is not None:
+            chunk_path = _checkpoint_chunk_path(checkpoint_dir, ci)
+            if os.path.exists(chunk_path):
+                with np.load(chunk_path) as data:
+                    results.append(RunResult(**{k: data[k] for k in data.files}))
+                continue
         idx = np.arange(sl.start, sl.stop)
         if chunk_size is not None and len(idx) < chunk_size:
             idx = np.concatenate([idx, np.zeros(chunk_size - len(idx), np.int64)])
@@ -361,7 +436,14 @@ def run_landscape_robustness_sweep(
         # device arrays are not fully addressable, and uneven slices would
         # break the sharding anyway.
         out = multihost.gather_to_host(out)
-        results.append(jax.tree.map(lambda x, k=sl.stop - sl.start: x[:k], out))
+        out = jax.tree.map(lambda x, k=sl.stop - sl.start: x[:k], out)
+        if checkpoint_dir is not None and jax.process_index() == 0:
+            # Atomic-ish write: a crash mid-save must not leave a readable
+            # partial chunk behind.
+            tmp = chunk_path + ".tmp.npz"
+            np.savez(tmp, **out._asdict())
+            os.replace(tmp, chunk_path)
+        results.append(out)
     result = (
         results[0]
         if len(results) == 1

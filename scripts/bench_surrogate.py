@@ -164,6 +164,69 @@ def bench_surrogate_sweep(rounds: int):
     )
 
 
+def bench_matrix(rounds: int):
+    """Quality/latency rows for the REST of the surrogate matrix.
+
+    Runs the paper config (rounds x batch 100 x 2000 queries) on
+    TF-Bind-8 SIX6_REF_R1 for every fused runner that gained surrogate
+    mode after the headline pair (Random, DQN, PPO, CbAS/DbAS) — these
+    combinations have no reference row (the paper's CNN experiments were
+    Adalead and CMAES only), so the record is capability + in-band
+    quality, not parity.
+    """
+    import flexs_tpu as flexs
+    from flexs_tpu.landscapes import tf_binding
+    from flexs_tpu.runtime.cbas_runner import DeviceCbASNAM
+    from flexs_tpu.runtime.dqn_runner import DeviceDQNNAM
+    from flexs_tpu.runtime.ppo_runner import DevicePPONAM
+    from flexs_tpu.runtime.random_runner import DeviceRandomNAM
+    from flexs_tpu.runtime.surrogate import SurrogateSpec
+
+    landscape = flexs.landscapes.TFBinding(name="SIX6_REF_R1")
+    spec = SurrogateSpec()
+    common = dict(
+        rounds=rounds,
+        sequences_batch_size=100,
+        model_queries_per_batch=2000,
+        model="surrogate",
+        surrogate_spec=spec,
+    )
+    runners = {
+        "random": lambda start: DeviceRandomNAM(
+            landscape, "TGCA", starting_sequence=start, **common
+        ),
+        "dqn": lambda start: DeviceDQNNAM(
+            landscape, "TGCA", starting_sequence=start, **common
+        ),
+        "ppo": lambda start: DevicePPONAM(
+            landscape, "TGCA", starting_sequence=start, **common
+        ),
+        "cbas": lambda start: DeviceCbASNAM(
+            landscape, "TGCA", starting_sequence=start, **common
+        ),
+    }
+    for name, make in runners.items():
+        scores, times = [], []
+        for start in tf_binding.STARTS[:2]:
+            explorer = make(start)
+            t0 = time.time()
+            df, _ = explorer.run(verbose=False)
+            first = time.time() - t0
+            t0 = time.time()
+            df, _ = explorer.run(verbose=False)
+            steady = time.time() - t0
+            scores.append(df["true_score"].max())
+            times.append(steady)
+            print(
+                f"  {name}-cnn {start}: max {scores[-1]:.3f} "
+                f"(first {first:.1f}s, steady {steady:.2f}s)"
+            )
+        print(
+            f"{name}-cnn mean {np.mean(scores):.3f} "
+            f"steady {np.mean(times):.2f}s/run"
+        )
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--starts", type=int, default=5)
@@ -172,8 +235,13 @@ def main():
     parser.add_argument("--skip-cmaes", action="store_true")
     parser.add_argument("--sweep", action="store_true",
                         help="measure the fused-surrogate sweep throughput")
+    parser.add_argument("--matrix", action="store_true",
+                        help="quality rows for random/dqn/ppo/cbas surrogate modes")
     args = parser.parse_args()
 
+    if args.matrix:
+        bench_matrix(args.rounds)
+        return
     if args.sweep:
         bench_surrogate_sweep(args.rounds)
         return

@@ -111,3 +111,39 @@ def test_generic_sweep_algorithm_selection(algorithm, kwargs):
     )
     assert len(df) == 2
     assert (df["model_cost"] > 0).all()
+
+
+def test_sweep_checkpoint_resume(tmp_path):
+    """Chunked sweeps checkpoint per chunk and resume identically."""
+    import os
+
+    from flexs_tpu.landscapes import tf_binding
+
+    ckpt = str(tmp_path / "sweep_ckpt")
+    land = flexs.landscapes.TFBinding(name="SIX6_REF_R1")
+    kw = dict(
+        starts=tf_binding.STARTS[:2],
+        signal_strengths=[0.9],
+        seeds=[0, 1],
+        rounds=2,
+        sequences_batch_size=5,
+        model_queries_per_batch=20,
+        chunk_size=2,
+        checkpoint_dir=ckpt,
+    )
+    df1 = run_landscape_robustness_sweep([land], "TGCA", **kw)
+    chunks = sorted(f for f in os.listdir(ckpt) if f.endswith(".npz"))
+    assert chunks == ["chunk_00000.npz", "chunk_00001.npz"]
+
+    # Full resume: every chunk loads from disk, results identical.
+    df2 = run_landscape_robustness_sweep([land], "TGCA", **kw)
+    assert df1.equals(df2)
+
+    # Partial resume: one chunk recomputes, the other loads.
+    os.remove(os.path.join(ckpt, "chunk_00001.npz"))
+    df3 = run_landscape_robustness_sweep([land], "TGCA", **kw)
+    assert df1.equals(df3)
+
+    # A different sweep must refuse to reuse the directory.
+    with pytest.raises(ValueError, match="DIFFERENT sweep"):
+        run_landscape_robustness_sweep([land], "TGCA", **{**kw, "seeds": [5, 6]})
