@@ -267,9 +267,20 @@ class RNAFolding(Landscape):
         )
         return -fn(jnp.asarray(tokens)) / self.norm_value
 
+    def device_fitness(self):
+        """(pure fitness fn, params) pair for fused device runners."""
+        return _folding_fitness_fn, (self._stack, jnp.float32(self.norm_value))
+
     def _fitness_function(self, sequences: SEQUENCES_TYPE) -> np.ndarray:
         tokens = _RNA.encode(list(sequences))
         return np.asarray(self.fitness_from_tokens(tokens), dtype=np.float64)
+
+
+def _folding_fitness_fn(params, tokens):
+    """Module-level pure fn (stable jit-cache identity across instances)."""
+    stack_tbl, norm = params
+    fn = jax.vmap(lambda s: _nussinov_stack_mfe(s, stack_tbl, jnp.float32(3.0)))
+    return -fn(tokens) / norm
 
 
 def registry() -> Dict[str, Dict]:

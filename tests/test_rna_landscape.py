@@ -140,3 +140,27 @@ def test_rna_device_fitness_with_fused_runner():
     np.testing.assert_allclose(
         prop["model_score"].to_numpy(), prop["true_score"].to_numpy(), atol=1e-5
     )
+
+
+def test_rna_folding_device_fitness_fused_runner():
+    """RNAFolding joins the fused-runner family via device_fitness."""
+    from flexs_tpu.runtime import DeviceAdaleadNAM
+
+    landscape = rna.RNAFolding()
+    start = "GGGGGGAAAACCCCCC"
+    runner = DeviceAdaleadNAM(
+        landscape,
+        flexs.RNAA,
+        rounds=2,
+        sequences_batch_size=5,
+        model_queries_per_batch=20,
+        starting_sequence=start,
+        signal_strength=1.0,
+        seed=0,
+    )
+    df, _ = runner.run(verbose=False)
+    assert df["round"].max() == 2
+    # Device fn agrees with the host fast path on the proposals.
+    seqs = df["sequence"].tolist()
+    host = landscape.get_fitness(seqs)
+    np.testing.assert_allclose(df["true_score"].to_numpy(), host, atol=1e-5)
