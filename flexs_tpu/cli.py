@@ -61,6 +61,18 @@ def main(argv=None) -> int:
         "cell (signal strengths are ignored) and routes through the "
         "generic landscape sweep",
     )
+    parser.add_argument(
+        "--chunk-size",
+        type=int,
+        default=None,
+        help="cells per device dispatch (bounds device memory on wide grids)",
+    )
+    parser.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="directory for per-chunk checkpoints; rerunning the same sweep "
+        "resumes past completed chunks (use with --chunk-size)",
+    )
     args = parser.parse_args(argv)
 
     import jax
@@ -88,7 +100,11 @@ def main(argv=None) -> int:
     )
 
     t0 = time.time()
-    if args.algorithm == "adalead" and args.model == "nam":
+    if (
+        args.algorithm == "adalead"
+        and args.model == "nam"
+        and args.checkpoint_dir is None
+    ):
         df = run_robustness_sweep(
             landscape_names=names,
             starts=starts,
@@ -98,14 +114,16 @@ def main(argv=None) -> int:
             sequences_batch_size=args.batch,
             model_queries_per_batch=args.queries,
             mesh=mesh,
+            chunk_size=args.chunk_size,
         )
     else:
         from flexs_tpu.parallel.sweep import run_landscape_robustness_sweep
 
-        landscapes = [
-            tf_binding.TFBinding(**tf_binding.registry()[n]["params"])
-            for n in names
-        ]
+        landscapes = []
+        for n in names:
+            land = tf_binding.TFBinding(**tf_binding.registry()[n]["params"])
+            land.name = n
+            landscapes.append(land)
         df = run_landscape_robustness_sweep(
             landscapes,
             "TGCA",
@@ -118,8 +136,10 @@ def main(argv=None) -> int:
             sequences_batch_size=args.batch,
             model_queries_per_batch=args.queries,
             mesh=mesh,
+            chunk_size=args.chunk_size,
             algorithm=args.algorithm,
             model=args.model,
+            checkpoint_dir=args.checkpoint_dir,
         )
     wall = time.time() - t0
 

@@ -396,6 +396,11 @@ def run_landscape_robustness_sweep(
         algorithm, tuple(sorted((algorithm_kwargs or {}).items()))
     )
 
+    if mesh is not None and chunk_size is not None:
+        # Each chunk shards over the whole mesh, so it must be a mesh
+        # multiple; short chunks already pad themselves to chunk_size.
+        chunk_size = -(-chunk_size // mesh.devices.size) * mesh.devices.size
+
     n = len(land_idx)  # padded cell count (shards evenly over the mesh)
     if chunk_size is None or chunk_size >= n:
         slices = [slice(0, n)]
