@@ -420,7 +420,20 @@ def run_landscape_robustness_sweep(
     for ci, sl in enumerate(slices):
         if checkpoint_dir is not None:
             chunk_path = _checkpoint_chunk_path(checkpoint_dir, ci)
-            if os.path.exists(chunk_path):
+            have_chunk = os.path.exists(chunk_path)
+            if jax.process_count() > 1:
+                # Every process must take the same branch (the compute
+                # path runs collectives): follow process 0's view, which
+                # is also the only writer.  Requires a shared filesystem
+                # for the load to succeed everywhere.
+                from jax.experimental import multihost_utils
+
+                have_chunk = bool(
+                    multihost_utils.broadcast_one_to_all(
+                        np.asarray(have_chunk)
+                    )
+                )
+            if have_chunk:
                 with np.load(chunk_path) as data:
                     results.append(RunResult(**{k: data[k] for k in data.files}))
                 continue

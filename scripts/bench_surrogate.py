@@ -152,15 +152,25 @@ def bench_surrogate_sweep(rounds: int):
         model="surrogate",
         surrogate_spec=SurrogateSpec(),
     )
-    run_landscape_robustness_sweep([landscape], flexs.AAS, starts=starts[:1],
-                                   **{**kw, "seeds": [0]})  # warm compile
+    # Warm with the SAME cell-count shape: a different batch dimension is a
+    # different compiled program, so a small warmup would leave the timed
+    # call paying the full compile.
     t0 = time.time()
-    df = run_landscape_robustness_sweep([landscape], flexs.AAS, starts=starts, **kw)
-    wall = time.time() - t0
+    run_landscape_robustness_sweep([landscape], flexs.AAS, starts=starts, **kw)
+    print(f"  (compile+first run {time.time() - t0:.1f}s)")
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        df = run_landscape_robustness_sweep(
+            [landscape], flexs.AAS, starts=starts, **kw
+        )
+        walls.append(time.time() - t0)
+    wall = float(np.median(walls))
     seqs = int(df["model_cost"].sum() + df["landscape_cost"].sum())
     print(
         f"surrogate sweep: {len(df)} Rosetta-CNN-Adalead cells in {wall:.1f}s "
-        f"({seqs / wall:9.0f} seqs/s; mean max {df['max_fitness'].mean():.3f})"
+        f"median-of-3 (spread {min(walls):.1f}-{max(walls):.1f}; "
+        f"{seqs / wall:9.0f} seqs/s; mean max {df['max_fitness'].mean():.3f})"
     )
 
 
