@@ -144,3 +144,31 @@ sweep = run_robustness_sweep(
 )
 print("sweep summary:")
 print(sweep[["landscape", "start", "signal_strength", "max_fitness"]].to_string(index=False))
+
+# Every fused algorithm accepts every model mode ("nam"/"perfect"/
+# "surrogate") — pick the explorer with `algorithm=` and, for long
+# sweeps, make them preemption-safe with `chunk_size` + `checkpoint_dir`
+# (each completed chunk is written to disk; rerunning the same sweep
+# resumes past it).  The same matrix is exposed on the command line:
+#   flexs-tpu-sweep --algorithm cbas --model surrogate \
+#       --chunk-size 64 --checkpoint-dir /tmp/my_sweep
+import tempfile  # noqa: E402
+
+with tempfile.TemporaryDirectory() as ckpt:
+    sweep_kw = dict(
+        landscape_names=["SIX6_REF_R1"],
+        starts=flexs.landscapes.tf_binding.STARTS[:2],
+        signal_strengths=[1.0],
+        rounds=2,
+        sequences_batch_size=10,
+        model_queries_per_batch=50,
+        algorithm="ga",
+        algorithm_kwargs={"population_size": 20},
+        model="perfect",
+        chunk_size=1,
+        checkpoint_dir=ckpt,
+    )
+    run_robustness_sweep(**sweep_kw)          # computes + checkpoints
+    resumed = run_robustness_sweep(**sweep_kw)  # loads every chunk
+print("checkpointed GA sweep (resumed):")
+print(resumed[["landscape", "start", "max_fitness"]].to_string(index=False))

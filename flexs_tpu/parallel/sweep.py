@@ -605,6 +605,7 @@ def run_robustness_sweep(
     algorithm_kwargs: Optional[dict] = None,
     model: str = "nam",
     surrogate_spec=None,
+    checkpoint_dir: Optional[str] = None,
 ) -> pd.DataFrame:
     """Robustness evaluator over TF-binding landscapes as one sharded sweep.
 
@@ -622,7 +623,12 @@ def run_robustness_sweep(
     """
     from flexs_tpu.landscapes import tf_binding
 
-    if algorithm != "adalead" or algorithm_kwargs or model != "nam":
+    if (
+        algorithm != "adalead"
+        or algorithm_kwargs
+        or model != "nam"
+        or checkpoint_dir is not None
+    ):
         lands = []
         for n in landscape_names:
             land = tf_binding.TFBinding(name=n)
@@ -643,6 +649,7 @@ def run_robustness_sweep(
             algorithm_kwargs=algorithm_kwargs,
             model=model,
             surrogate_spec=surrogate_spec,
+            checkpoint_dir=checkpoint_dir,
         )
 
     alpha: Alphabet = as_alphabet(alphabet)

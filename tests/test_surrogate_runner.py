@@ -281,6 +281,36 @@ def test_device_cbas_surrogate(landscape):
     assert df["measurement_cost"].max() == len(df)
 
 
+@pytest.mark.parametrize(
+    "algorithm,kwargs",
+    [
+        ("random", {"batch": 8}),
+        ("dqn", {"memory_size": 64, "train_epochs": 2}),
+        ("ppo", {"train_epochs": 2}),
+        ("cbas", {"cycle_batch_size": 10}),
+    ],
+)
+def test_surrogate_sweep_new_runners(landscape, algorithm, kwargs):
+    """The new surrogate runners vmap + shard under the sweep engine."""
+    df = run_landscape_robustness_sweep(
+        [landscape],
+        "TGCA",
+        starts=tf_binding.STARTS[:1],
+        signal_strengths=[1.0],
+        seeds=[0, 1],
+        rounds=2,
+        sequences_batch_size=4,
+        model_queries_per_batch=16,
+        algorithm=algorithm,
+        algorithm_kwargs=kwargs,
+        model="surrogate",
+        surrogate_spec=TINY_CNN,
+    )
+    assert len(df) == 2
+    assert (df["max_fitness"] >= df["start_fitness"]).all()
+    assert (df["model_cost"] > 0).all()
+
+
 def test_dynappo_surrogate_raises(landscape):
     """DynaPPO's internal ensemble IS the trained surrogate — explicit error."""
     with pytest.raises(ValueError, match="internal model ensemble"):
