@@ -227,9 +227,44 @@ def _cell_runner(algorithm: str, algorithm_kwargs: tuple):
 
 def _sweep_signature(
     algorithm, algorithm_kwargs, model, surrogate_spec, cfg, chunk_size,
-    land_idx, start_tokens, ss_arr, seed_arr,
+    landscapes, fitness_fn, land_idx, start_tokens, ss_arr, seed_arr,
 ) -> str:
-    """Stable signature of everything that determines a sweep's results."""
+    """Stable signature of everything that determines a sweep's results.
+
+    Landscape identity enters three ways: the ordered name list, the
+    fitness fn's qualified name plus each param pytree's structure and
+    leaf shapes/dtypes, and a CONTENT fingerprint of the params (per-leaf
+    sum / sum-of-squares / first element, reduced on device and fetched
+    once per landscape). The content fingerprint is what separates e.g.
+    two TFBinding problems, which share `.name`, fitness fn, and table
+    shape and differ only in table values. Reductions are deterministic
+    per backend, so resuming on a different backend (CPU vs TPU) is
+    treated as a different sweep — intentionally, since its numerics
+    would differ.
+    """
+    params_spec = []
+    for land in landscapes:
+        params = land.device_fitness()[1]
+        leaves = [jnp.asarray(x) for x in jax.tree.leaves(params)]
+        stats = [
+            jnp.stack([
+                jnp.sum(x, dtype=jnp.float32),
+                jnp.sum(jnp.square(x.astype(jnp.float32))),
+                x.reshape(-1)[0].astype(jnp.float32),
+            ])
+            for x in leaves
+            if x.size
+        ]
+        fingerprint = (
+            np.asarray(jnp.concatenate(stats)).tobytes().hex()
+            if stats
+            else ""
+        )
+        params_spec.append(
+            (str(jax.tree.structure(params)),
+             [(tuple(x.shape), str(x.dtype)) for x in leaves],
+             fingerprint)
+        )
     h = hashlib.sha256()
     h.update(
         json.dumps(
@@ -238,8 +273,13 @@ def _sweep_signature(
                 "algorithm_kwargs": sorted((algorithm_kwargs or {}).items()),
                 "model": model,
                 "surrogate_spec": list(surrogate_spec) if surrogate_spec else None,
-                "cfg": list(cfg._asdict().items())[:4],  # static scalars
+                "cfg": {
+                    k: v for k, v in cfg._asdict().items() if k != "surrogate"
+                },
                 "chunk_size": chunk_size,
+                "landscapes": [land.name for land in landscapes],
+                "fitness_fn": f"{fitness_fn.__module__}.{fitness_fn.__qualname__}",
+                "params_spec": params_spec,
             },
             default=str,
             sort_keys=True,
@@ -259,17 +299,28 @@ def _init_checkpoint_dir(checkpoint_dir: str, signature: str) -> None:
     os.makedirs(checkpoint_dir, exist_ok=True)
     manifest = os.path.join(checkpoint_dir, "manifest.json")
     if os.path.exists(manifest):
-        with open(manifest) as f:
-            prev = json.load(f)
+        try:
+            with open(manifest) as f:
+                prev = json.load(f)
+        except (json.JSONDecodeError, OSError) as e:
+            raise ValueError(
+                f"checkpoint_dir {checkpoint_dir!r} has a corrupt "
+                "manifest.json (interrupted initialization?); clear the "
+                "directory and rerun"
+            ) from e
         if prev.get("signature") != signature:
             raise ValueError(
                 f"checkpoint_dir {checkpoint_dir!r} holds chunks of a "
-                "DIFFERENT sweep (grid/algorithm/model/budget changed); "
-                "clear it or point at a fresh directory"
+                "DIFFERENT sweep (landscapes/grid/algorithm/model/budget "
+                "changed); clear it or point at a fresh directory"
             )
     elif jax.process_index() == 0:
-        with open(manifest, "w") as f:
+        # Atomic write: a crash mid-write must not leave a truncated
+        # manifest that poisons every future resume.
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
             json.dump({"signature": signature}, f)
+        os.replace(tmp, manifest)
 
 
 @partial(jax.jit, static_argnames=("cfg", "fitness_fn", "cell_fn", "mesh"))
@@ -412,7 +463,8 @@ def run_landscape_robustness_sweep(
             checkpoint_dir,
             _sweep_signature(
                 algorithm, algorithm_kwargs, model, surrogate_spec, cfg,
-                chunk_size, land_idx, start_tokens, ss_arr, seed_arr,
+                chunk_size, landscapes, fitness_fn,
+                land_idx, start_tokens, ss_arr, seed_arr,
             ),
         )
 

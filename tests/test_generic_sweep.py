@@ -147,3 +147,14 @@ def test_sweep_checkpoint_resume(tmp_path):
     # A different sweep must refuse to reuse the directory.
     with pytest.raises(ValueError, match="DIFFERENT sweep"):
         run_landscape_robustness_sweep([land], "TGCA", **{**kw, "seeds": [5, 6]})
+
+    # Landscape identity is part of the signature too.
+    other = flexs.landscapes.TFBinding(name="POU3F4_REF_R1")
+    with pytest.raises(ValueError, match="DIFFERENT sweep"):
+        run_landscape_robustness_sweep([other], "TGCA", **kw)
+
+    # A corrupt (truncated) manifest fails loudly instead of resuming.
+    with open(os.path.join(ckpt, "manifest.json"), "w") as f:
+        f.write('{"signa')
+    with pytest.raises(ValueError, match="corrupt"):
+        run_landscape_robustness_sweep([land], "TGCA", **kw)
