@@ -47,8 +47,8 @@ def main(argv=None) -> int:
         "--algorithm",
         default="adalead",
         choices=[
-            "adalead", "random", "ga", "cmaes", "bo", "dqn", "ppo",
-            "dynappo", "dynappo_mutative", "cbas", "dbas",
+            "adalead", "random", "ga", "cmaes", "bo", "gpr_bo", "dqn",
+            "ppo", "dynappo", "dynappo_mutative", "cbas", "dbas",
         ],
         help="fused explorer family (adalead uses the shared-table fast "
         "path; the rest go through the generic landscape sweep)",

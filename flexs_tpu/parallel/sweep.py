@@ -186,6 +186,11 @@ def _cell_runner(algorithm: str, algorithm_kwargs: tuple):
         kwargs.setdefault("num_chains", 10)
         kwargs.setdefault("method", "EI")
         return lambda f, p, s, cfg, ss, k: fn(f, p, s, cfg, ss, k, **kwargs)
+    if algorithm == "gpr_bo":
+        from flexs_tpu.runtime.gpr_bo_runner import run_gpr_bo_nam as fn
+
+        kwargs.setdefault("method", "Thompson")
+        return lambda f, p, s, cfg, ss, k: fn(f, p, s, cfg, ss, k, **kwargs)
     if algorithm == "dqn":
         from flexs_tpu.runtime.dqn_runner import run_dqn_nam as fn
 

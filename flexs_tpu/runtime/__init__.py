@@ -24,6 +24,10 @@ from flexs_tpu.runtime.dyna_ppo_mutative_runner import (  # noqa: F401
     DeviceDynaPPOMutativeNAM,
     run_dyna_ppo_mutative_nam,
 )
+from flexs_tpu.runtime.gpr_bo_runner import (  # noqa: F401
+    DeviceGPRBONAM,
+    run_gpr_bo_nam,
+)
 from flexs_tpu.runtime.ga_runner import (  # noqa: F401
     DeviceGeneticAlgorithmNAM,
     run_ga_nam,
