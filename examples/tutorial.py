@@ -146,7 +146,10 @@ print("sweep summary:")
 print(sweep[["landscape", "start", "signal_strength", "max_fitness"]].to_string(index=False))
 
 # Every fused algorithm accepts every model mode ("nam"/"perfect"/
-# "surrogate") — pick the explorer with `algorithm=` and, for long
+# "surrogate") — adalead, random, ga, cmaes, bo, gpr_bo, dqn, ppo, cbas,
+# dbas, plus dynappo/dynappo_mutative (whose built-in r²-gated ensemble
+# replaces the surrogate mode) — pick the explorer with `algorithm=` and,
+# for long
 # sweeps, make them preemption-safe with `chunk_size` + `checkpoint_dir`
 # (each completed chunk is written to disk; rerunning the same sweep
 # resumes past it).  The same matrix is exposed on the command line:

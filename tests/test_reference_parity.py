@@ -120,3 +120,51 @@ def test_registry_problem_names_match_reference():
         "spleen",
     }
     assert set(flexs.landscapes.rosetta.registry()) == {"3msi", "3mx7"}
+
+
+def test_public_api_surface_matches_reference():
+    """Every public name the reference package exports must exist here.
+
+    The lists mirror the reference's __init__ exports verbatim
+    (reference flexs/__init__.py:3-11, baselines/models/__init__.py:2-16,
+    baselines/explorers/__init__.py:2-11, landscapes/__init__.py:2-7,
+    utils/sequence_utils.py:20-108) so that "existing FLEXS experiment
+    code ports by changing the import" stays true by construction.
+    """
+    import flexs_tpu.baselines.explorers as explorers
+    import flexs_tpu.baselines.models as models
+    import flexs_tpu.landscapes as landscapes
+    import flexs_tpu.utils.sequence_utils as su
+
+    surface = {
+        flexs: [
+            "Landscape", "Model", "LandscapeAsModel", "Ensemble",
+            "Explorer", "baselines", "evaluate", "landscapes", "types",
+        ],
+        explorers: [
+            "Adalead", "BO", "GPR_BO", "CbAS", "VAE", "CMAES", "DQN",
+            "DynaPPO", "DynaPPOMutative", "GeneticAlgorithm", "PPO",
+            "Random", "environments",
+        ],
+        models: [
+            "AdaptiveEnsemble", "CNN", "GlobalEpistasisModel",
+            "KerasModel", "MLP", "NoisyAbstractModel", "LinearRegression",
+            "LogisticRegression", "RandomForest",
+        ],
+        landscapes: [
+            "rna", "AdditiveAAVPackaging", "BertGFPBrightness",
+            "RNABinding", "RosettaFolding", "TFBinding",
+        ],
+        su: [
+            "construct_mutant_from_sample", "string_to_one_hot",
+            "one_hot_to_string", "generate_single_mutants",
+            "generate_random_sequences", "generate_random_mutant",
+        ],
+    }
+    missing = [
+        f"{mod.__name__}.{name}"
+        for mod, names in surface.items()
+        for name in names
+        if not hasattr(mod, name)
+    ]
+    assert not missing, missing
