@@ -37,7 +37,27 @@ import jax.numpy as jnp
 import optax
 
 from flexs_tpu.baselines.models.cnn import CNNModule
+from flexs_tpu.baselines.models.global_epistasis_model import (
+    GlobalEpistasisModule,
+)
 from flexs_tpu.baselines.models.mlp import MLPModule
+
+
+class LinearModule(nn.Module):
+    """Flattened one-hot -> Dense(1): the sklearn LinearRegression shape.
+
+    The reference's linear surrogate is `sklearn.linear_model
+    .LinearRegression` over flattened one-hot features (reference
+    sklearn_models.py:20-33,67-74).  This module only defines the predict
+    path; `train` fits it in CLOSED FORM (weighted minimum-norm OLS via an
+    eigh pseudo-inverse — one MXU Gram contraction + one solve per round,
+    no SGD epochs), so the fused runner gets exact sklearn-equivalent
+    fitted values instead of an Adam approximation.
+    """
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.Dense(1)(x.reshape(x.shape[0], -1))
 
 
 class SurrogateSpec(NamedTuple):
@@ -48,7 +68,7 @@ class SurrogateSpec(NamedTuple):
     Keras fit defaults of 20 epochs at batch 256 with Adam(1e-3).
     """
 
-    arch: str = "cnn"  # "cnn" | "mlp"
+    arch: str = "cnn"  # "cnn" | "mlp" | "gem" | "linear"
     ensemble_size: int = 1
     num_filters: int = 32
     hidden_size: int = 100
@@ -72,7 +92,13 @@ class SurrogateSpec(NamedTuple):
                 f"CNN_hidden_size_{self.hidden_size}"
                 f"_num_filters_{self.num_filters}"
             )
+        elif self.arch == "linear":
+            # Reference sklearn wrapper name (sklearn_models.py:67-74).
+            base = "linear_regression"
         else:
+            # Both MLP and GlobalEpistasis default to this string in the
+            # reference (mlp.py:43, global_epistasis_model.py:41 — the
+            # GEM name quirk is preserved on purpose, see CLAUDE.md).
             base = f"MLP_hidden_size_{self.hidden_size}"
         if self.ensemble_size == 1 and not self.adaptive:
             return base
@@ -103,6 +129,10 @@ def _module(spec: SurrogateSpec, alphabet_size: int):
         )
     if spec.arch == "mlp":
         return MLPModule(hidden_size=spec.hidden_size)
+    if spec.arch == "gem":
+        return GlobalEpistasisModule(hidden_size=spec.hidden_size)
+    if spec.arch == "linear":
+        return LinearModule()
     raise ValueError(f"unknown surrogate arch {spec.arch!r}")
 
 
@@ -212,10 +242,37 @@ def train(
         )
         return SurrogateState(params=params, opt_state=opt_state, weight=weight)
 
-    keys = jax.random.split(key, spec.ensemble_size)
-    new_state = jax.vmap(fit_one)(
-        state.params, state.opt_state, state.weight, keys
-    )
+    if spec.arch == "linear":
+        # Closed form instead of SGD: weighted minimum-norm OLS via an
+        # eigh pseudo-inverse (the one-hot blocks are collinear with the
+        # bias column, so the Gram matrix is rank-deficient; the pinv
+        # gives sklearn LinearRegression's fitted values exactly).  One
+        # MXU Gram contraction + one solve per round; members are
+        # deterministic and identical.
+        xf = x.reshape(padded, -1)
+        xf = jnp.concatenate([xf, jnp.ones((padded, 1), jnp.float32)], 1)
+        xw = xf * w[:, None]
+        gram = jnp.dot(xw.T, xf, preferred_element_type=jnp.float32)
+        rhs = jnp.dot(xw.T, y, preferred_element_type=jnp.float32)
+        s, v = jnp.linalg.eigh(gram)
+        inv_s = jnp.where(s > 1e-6 * jnp.max(s), 1.0 / s, 0.0)
+        coef = v @ (inv_s * (v.T @ rhs))
+        kernel, bias = coef[:-1][:, None], coef[-1:]
+
+        def fill(old):
+            tgt = kernel if old.shape[1:] == kernel.shape else bias
+            return jnp.broadcast_to(tgt, old.shape).astype(old.dtype)
+
+        new_state = SurrogateState(
+            params=jax.tree.map(fill, state.params),
+            opt_state=state.opt_state,
+            weight=state.weight,
+        )
+    else:
+        keys = jax.random.split(key, spec.ensemble_size)
+        new_state = jax.vmap(fit_one)(
+            state.params, state.opt_state, state.weight, keys
+        )
 
     if spec.adaptive:
         # Holdout Pearson r^2 per member, normalized to combine weights

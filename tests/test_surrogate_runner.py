@@ -52,6 +52,60 @@ def test_surrogate_fit_reduces_loss():
     assert after < before * 0.5, (before, after)
 
 
+def test_linear_arch_matches_host_ols():
+    """arch="linear" solves the same weighted OLS as JaxRidgeRegression."""
+    import jax.numpy as jnp
+
+    from flexs_tpu.baselines.models.jax_linear import JaxRidgeRegression
+
+    rng = np.random.default_rng(0)
+    L, A, n = 8, 4, 50
+    tokens_np = rng.integers(0, A, size=(64, L)).astype(np.int32)
+    y_np = rng.normal(size=64).astype(np.float32)
+    truth = jnp.where(jnp.arange(64) < n, jnp.asarray(y_np), -np.inf)
+
+    spec = surrogate.SurrogateSpec(arch="linear")
+    assert spec.model_name == "linear_regression"
+    state = surrogate.init_state(spec, A, L, jax.random.PRNGKey(0))
+    state = surrogate.train(
+        spec, A, state, jnp.asarray(tokens_np), truth, n, jax.random.PRNGKey(1)
+    )
+    preds = np.asarray(surrogate.predict(spec, A, state, jnp.asarray(tokens_np)))
+
+    host = JaxRidgeRegression("TGCA", alpha=0.0)
+    decode = lambda rows: ["".join("TGCA"[t] for t in row) for row in rows]
+    host.train(decode(tokens_np[:n]), y_np[:n])
+    expected = host.get_fitness(decode(tokens_np))
+    np.testing.assert_allclose(preds, expected, atol=2e-3)
+
+
+def test_gem_and_linear_archs_run_fused(landscape):
+    """The remaining reference model archs drive the fused runner."""
+    for spec in (
+        surrogate.SurrogateSpec(arch="gem", hidden_size=16, epochs=3,
+                                batch_size=64),
+        surrogate.SurrogateSpec(arch="linear"),
+    ):
+        explorer = DeviceAdaleadNAM(
+            landscape,
+            "TGCA",
+            rounds=2,
+            sequences_batch_size=8,
+            model_queries_per_batch=40,
+            starting_sequence=tf_binding.STARTS[0],
+            model="surrogate",
+            surrogate_spec=spec,
+        )
+        df, _ = explorer.run(verbose=False)
+        assert df["true_score"].max() >= df["true_score"].iloc[0]
+        assert df["measurement_cost"].max() == len(df)
+    # GEM keeps the reference's name quirk (global_epistasis_model.py:41).
+    assert (
+        surrogate.SurrogateSpec(arch="gem", hidden_size=16).model_name
+        == "MLP_hidden_size_16"
+    )
+
+
 def test_adaptive_ensemble_weights():
     """Adaptive specs reweight members by holdout r^2 (sum to 1)."""
     import jax
