@@ -48,10 +48,11 @@ def _kernel(d2, log_c, log_l):
     return jnp.exp(log_c) * jnp.exp(-0.5 * d2 / jnp.exp(2.0 * log_l))
 
 
-@jax.jit
-def _fit_gp(tokens, labels, valid):
-    """Maximize the log marginal likelihood; return (theta, dual coefs).
+def gp_fit(tokens, labels, valid, opt_steps: int = 150):
+    """Maximize the log marginal likelihood; return (theta, dual, chol).
 
+    Pure function (safe to call inside an outer jit/scan, e.g. the fused
+    runners' in-program GP surrogate — runtime/surrogate.py arch="gp").
     Padded rows (valid=False) are decoupled: their kernel rows are zeroed
     and their diagonal set to 1, so they contribute a constant to the LML
     and exactly zero to the posterior.
@@ -101,7 +102,7 @@ def _fit_gp(tokens, labels, valid):
         opt_step,
         (theta0, opt.init(theta0), theta0, neg_lml(theta0)),
         None,
-        length=150,
+        length=opt_steps,
     )
     k = build_k(theta)
     chol = jnp.linalg.cholesky(k)
@@ -109,15 +110,22 @@ def _fit_gp(tokens, labels, valid):
     return theta, dual, chol
 
 
-@jax.jit
-def _gp_predict(tokens, train_tokens, theta, dual, chol, valid):
-    """Posterior mean and std at `tokens` given the fitted factorization."""
+_fit_gp = jax.jit(gp_fit)
+
+
+def gp_posterior(tokens, train_tokens, theta, dual, chol, valid):
+    """Posterior mean and std at `tokens` given the fitted factorization.
+
+    Pure (reused by the fused in-program GP surrogate)."""
     d2 = 2.0 * _hamming(tokens, train_tokens)
     k_star = jnp.where(valid[None, :], _kernel(d2, theta[0], theta[1]), 0.0)
     mu = k_star @ dual
     v = jax.scipy.linalg.solve_triangular(chol, k_star.T, lower=True)
     var = jnp.exp(theta[0]) - jnp.sum(v * v, axis=0)
     return mu, jnp.sqrt(jnp.maximum(var, 0.0))
+
+
+_gp_predict = jax.jit(gp_posterior)
 
 
 class JaxGaussianProcessRegressor(Model):

@@ -57,9 +57,25 @@ def main(argv=None) -> int:
         "--model",
         default="nam",
         choices=["nam", "perfect", "surrogate"],
-        help="fused model family; 'surrogate' trains a CNN in-program per "
+        help="fused model family; 'surrogate' trains a model in-program per "
         "cell (signal strengths are ignored) and routes through the "
         "generic landscape sweep",
+    )
+    parser.add_argument(
+        "--surrogate-arch",
+        default="cnn",
+        choices=["cnn", "mlp", "gem", "linear", "gp"],
+        help="in-program surrogate family for --model surrogate: SGD-fit "
+        "Flax nets (cnn/mlp/gem), closed-form OLS (linear), or an "
+        "exact Gaussian-process posterior (gp — gives BO/GPR_BO "
+        "acquisitions a real sigma)",
+    )
+    parser.add_argument(
+        "--surrogate-ensemble",
+        type=int,
+        default=1,
+        help="in-program surrogate ensemble size (ignored unless "
+        "--model surrogate; must stay 1 for --surrogate-arch gp)",
     )
     parser.add_argument(
         "--chunk-size",
@@ -119,6 +135,14 @@ def main(argv=None) -> int:
     else:
         from flexs_tpu.parallel.sweep import run_landscape_robustness_sweep
 
+        surrogate_spec = None
+        if args.model == "surrogate":
+            from flexs_tpu.runtime.surrogate import SurrogateSpec
+
+            surrogate_spec = SurrogateSpec(
+                arch=args.surrogate_arch,
+                ensemble_size=args.surrogate_ensemble,
+            )
         landscapes = []
         for n in names:
             land = tf_binding.TFBinding(**tf_binding.registry()[n]["params"])
@@ -139,6 +163,7 @@ def main(argv=None) -> int:
             chunk_size=args.chunk_size,
             algorithm=args.algorithm,
             model=args.model,
+            surrogate_spec=surrogate_spec,
             checkpoint_dir=args.checkpoint_dir,
         )
     wall = time.time() - t0

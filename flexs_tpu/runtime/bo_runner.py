@@ -231,7 +231,31 @@ def run_bo_nam(
             mutants = jnp.where(flip, (cur + offsets) % A, cur)
 
             flat = mutants.reshape(C * M, L)
-            if cfg.surrogate is not None:
+            if cfg.surrogate is not None and cfg.surrogate.arch == "gp":
+                # Exact-GP posterior acquisition: the Gaussian closed
+                # forms of the same EI/UCB the member path estimates by
+                # sampling — E[max(f - best, 0)] under N(mu, sigma^2),
+                # and UCB with the reference's minus-sign quirk
+                # (bo.py:129-133) on a real sigma.
+                vals, sig = surrogate_lib.posterior(
+                    cfg.surrogate, A, surr_state, flat
+                )
+                if method == "UCB":
+                    acq = vals - 0.01 * sig
+                else:  # EI
+                    safe = jnp.maximum(sig, 1e-12)
+                    z = (vals - best_fit) / safe
+                    ei = safe * (
+                        jax.scipy.stats.norm.pdf(z)
+                        + z * jax.scipy.stats.norm.cdf(z)
+                    )
+                    acq = jnp.where(
+                        sig > 1e-12, ei, jnp.maximum(vals - best_fit, 0.0)
+                    )
+                model_cost_s, landscape_cost_s = costs
+                costs = (model_cost_s + C * M, landscape_cost_s)
+                pos = jnp.full((C * M,), cache_cap - 1, jnp.int32)
+            elif cfg.surrogate is not None:
                 # Per-member acquisition over the in-program ensemble
                 # (docstring; reference bo.py:125-133, 170-185).
                 member_vals = surrogate_lib.predict_members(
@@ -354,7 +378,9 @@ def run_bo_nam(
     prev_valid = jnp.zeros((B,), bool).at[0].set(True)
     if cfg.surrogate is not None:
         key, k_init = jax.random.split(key)
-        surr0 = surrogate_lib.init_state(cfg.surrogate, A, L, k_init)
+        surr0 = surrogate_lib.init_state(
+            cfg.surrogate, A, L, k_init, capacity=measured_cap
+        )
         measured0 = (
             jnp.zeros((measured_cap, L), jnp.int32).at[0].set(start_tokens),
             jnp.full((measured_cap,), -jnp.inf, jnp.float32).at[0].set(

@@ -678,7 +678,9 @@ def run_cbas_nam(
 
     if cfg.surrogate is not None:
         key, k_surr = jax.random.split(key)
-        surr0 = surrogate_lib.init_state(cfg.surrogate, A, L, k_surr)
+        surr0 = surrogate_lib.init_state(
+            cfg.surrogate, A, L, k_surr, capacity=measured_cap
+        )
     else:
         surr0 = ()
 

@@ -161,11 +161,13 @@ def run_gpr_bo_nam(
             k_exp, k_choice, k_thom = jax.random.split(kc, 3)
 
             if cfg.surrogate is not None:
-                member_vals = surrogate_lib.predict_members(
+                # Ensembles: combined mean + member-spread sigma (the
+                # reference's proxy); arch="gp": the exact analytic
+                # posterior — a REAL sigma, which the reference's GPR_BO
+                # never has (np.std-over-a-scalar quirk, bo.py:319).
+                mu, sigma = surrogate_lib.posterior(
                     cfg.surrogate, A, surr_state, tokens_c
-                )  # [K, chunk]
-                mu = jnp.mean(member_vals, axis=0)
-                sigma = jnp.std(member_vals, axis=0)
+                )
                 n_fresh = jnp.int32(0)
             elif cfg.perfect_model:
                 mu = fitness_fn(fitness_params, tokens_c)
@@ -266,7 +268,9 @@ def run_gpr_bo_nam(
 
     if cfg.surrogate is not None:
         key, k_init = jax.random.split(key)
-        surr0 = surrogate_lib.init_state(cfg.surrogate, A, L, k_init)
+        surr0 = surrogate_lib.init_state(
+            cfg.surrogate, A, L, k_init, capacity=measured_cap
+        )
     else:
         surr0 = ()
     init = (

@@ -281,7 +281,9 @@ def run_random_nam(
 
     if cfg.surrogate is not None:
         key, k_init = jax.random.split(key)
-        surr0 = surrogate_lib.init_state(cfg.surrogate, A, L, k_init)
+        surr0 = surrogate_lib.init_state(
+            cfg.surrogate, A, L, k_init, capacity=measured_cap
+        )
     else:
         surr0 = ()
 

@@ -40,6 +40,7 @@ from flexs_tpu.baselines.models.cnn import CNNModule
 from flexs_tpu.baselines.models.global_epistasis_model import (
     GlobalEpistasisModule,
 )
+from flexs_tpu.baselines.models.jax_gp import gp_fit, gp_posterior
 from flexs_tpu.baselines.models.mlp import MLPModule
 
 
@@ -68,7 +69,7 @@ class SurrogateSpec(NamedTuple):
     Keras fit defaults of 20 epochs at batch 256 with Adam(1e-3).
     """
 
-    arch: str = "cnn"  # "cnn" | "mlp" | "gem" | "linear"
+    arch: str = "cnn"  # "cnn" | "mlp" | "gem" | "linear" | "gp"
     ensemble_size: int = 1
     num_filters: int = 32
     hidden_size: int = 100
@@ -76,6 +77,11 @@ class SurrogateSpec(NamedTuple):
     epochs: int = 20
     batch_size: int = 256
     learning_rate: float = 1e-3
+    # arch="gp" only: LML Adam steps per round (jax_gp.gp_fit; 150 is the
+    # sklearn-parity default documented there).  GP state shapes depend on
+    # the measured-buffer capacity, so `init_state` needs `capacity=` for
+    # this arch.
+    gp_opt_steps: int = 150
     # Adaptive r^2 reweighting (reference adaptive_ensemble.py:71-96):
     # with >= 10 live rows, members train on a random (1 - val) split and
     # the combine weights become normalized holdout Pearson r^2; with
@@ -95,6 +101,10 @@ class SurrogateSpec(NamedTuple):
         elif self.arch == "linear":
             # Reference sklearn wrapper name (sklearn_models.py:67-74).
             base = "linear_regression"
+        elif self.arch == "gp":
+            # Matches JaxGaussianProcessRegressor / the sklearn member name
+            # in the reference DynaPPO ensemble (dyna_ppo.py:57-85).
+            base = "gaussian_process"
         else:
             # Both MLP and GlobalEpistasis default to this string in the
             # reference (mlp.py:43, global_epistasis_model.py:41 — the
@@ -141,8 +151,44 @@ def _tx(spec: SurrogateSpec):
     return optax.adam(spec.learning_rate)
 
 
-def init_state(spec: SurrogateSpec, alphabet_size: int, length: int, key):
-    """Initialize ensemble_size independent members (vmapped leading axis)."""
+def init_state(
+    spec: SurrogateSpec,
+    alphabet_size: int,
+    length: int,
+    key,
+    capacity: int = 0,
+):
+    """Initialize ensemble_size independent members (vmapped leading axis).
+
+    `capacity` (the runner's measured-buffer row count) is required for
+    arch="gp", whose exact-posterior state — the training set, the dual
+    coefficients, and the Cholesky factor — is shaped [capacity, ...].
+    Other archs ignore it.
+    """
+    if spec.arch == "gp":
+        if capacity < 1:
+            raise ValueError(
+                'arch="gp" needs init_state(..., capacity=<measured-buffer '
+                "capacity>) — its posterior state is shaped by it"
+            )
+        if spec.ensemble_size != 1 or spec.adaptive:
+            raise ValueError(
+                'arch="gp" is an exact posterior — ensemble_size must be 1 '
+                "and adaptive False (ensembling a deterministic GP is a "
+                "no-op)"
+            )
+        return SurrogateState(
+            params={
+                "train_tokens": jnp.zeros((capacity, length), jnp.int32),
+                "theta": jnp.zeros((2,), jnp.float32),
+                "dual": jnp.zeros((capacity,), jnp.float32),
+                "chol": jnp.eye(capacity, dtype=jnp.float32),
+                "valid": jnp.zeros((capacity,), bool),
+            },
+            opt_state=(),
+            weight=jnp.ones((1,), jnp.float32),
+        )
+
     module = _module(spec, alphabet_size)
     tx = _tx(spec)
     dummy = jnp.zeros((1, length, alphabet_size), jnp.float32)
@@ -175,6 +221,24 @@ def train(
         n_rows: live row count (traced).
         key: PRNG key (per-member shuffle/dropout streams are split off).
     """
+    if spec.arch == "gp":
+        # Exact posterior refit: LML hyperparameter optimization + one
+        # Cholesky over the masked measured buffer (jax_gp.gp_fit — the
+        # same math as JaxGaussianProcessRegressor, here inside the fused
+        # program so the state rides the lax.scan round carry).
+        valid = (jnp.arange(tokens.shape[0]) < n_rows) & jnp.isfinite(truth)
+        y = jnp.where(valid, truth, 0.0)
+        theta, dual, chol = gp_fit(tokens, y, valid, spec.gp_opt_steps)
+        return state._replace(
+            params={
+                "train_tokens": tokens,
+                "theta": theta,
+                "dual": dual,
+                "chol": chol,
+                "valid": valid,
+            }
+        )
+
     module = _module(spec, alphabet_size)
     tx = _tx(spec)
 
@@ -323,6 +387,8 @@ def predict_members(
     tokens: jnp.ndarray,
 ) -> jnp.ndarray:
     """Per-member predictions f32[members, B] (for BO-style acquisition)."""
+    if spec.arch == "gp":
+        return _gp_posterior(state, tokens)[0][None, :]
     x = jax.nn.one_hot(tokens, alphabet_size, dtype=jnp.float32)
     module = _module(spec, alphabet_size)
 
@@ -330,3 +396,33 @@ def predict_members(
         return module.apply(params, x, train=False).reshape(x.shape[0])
 
     return jnp.nan_to_num(jax.vmap(one)(state.params))
+
+
+def _gp_posterior(state: SurrogateState, tokens: jnp.ndarray):
+    p = state.params
+    return gp_posterior(
+        tokens, p["train_tokens"], p["theta"], p["dual"], p["chol"], p["valid"]
+    )
+
+
+def posterior(
+    spec: SurrogateSpec,
+    alphabet_size: int,
+    state: SurrogateState,
+    tokens: jnp.ndarray,
+):
+    """Posterior (mean, std), each f32[B].
+
+    arch="gp" returns the EXACT analytic posterior; every other arch
+    returns the combined mean and the member spread (population std over
+    ensemble members — the reference's sigma proxy, bo.py:318-319, which
+    is 0 for single-member specs).  This is what acquisition functions
+    should consume: it gives fused BO/GPR_BO a real uncertainty signal
+    where the reference's GPR_BO collapses to greedy (its np.std over a
+    scalar quirk — see CLAUDE.md preserved-quirks).
+    """
+    if spec.arch == "gp":
+        return _gp_posterior(state, tokens)
+    members = predict_members(spec, alphabet_size, state, tokens)
+    mean = jnp.sum(members * state.weight[:, None], axis=0)
+    return mean, jnp.std(members, axis=0)

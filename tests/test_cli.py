@@ -59,3 +59,26 @@ def test_cli_generic_path_with_checkpoint(tmp_path):
     # Rerun resumes from the checkpoints and reproduces the summary.
     assert cli.main(argv) == 0
     assert pd.read_csv(out).equals(df1)
+
+
+def test_cli_surrogate_arch_flag(tmp_path):
+    """--model surrogate --surrogate-arch gp sweeps the exact-GP family."""
+    out = str(tmp_path / "sweep.csv")
+    rc = cli.main(
+        [
+            "--landscapes", "SIX6_REF_R1",
+            "--starts", "1",
+            "--rounds", "2",
+            "--batch", "5",
+            "--queries", "20",
+            "--algorithm", "gpr_bo",
+            "--model", "surrogate",
+            "--surrogate-arch", "gp",
+            "--no-mesh",
+            "--out", out,
+        ]
+    )
+    assert rc == 0
+    df = pd.read_csv(out)
+    assert len(df) == 1
+    assert (df["max_fitness"] >= df["start_fitness"]).all()

@@ -96,6 +96,30 @@ def test_gpr_bo_surrogate_ensemble(landscape):
     assert df["true_score"].max() >= df["true_score"].iloc[0]
 
 
+def test_gpr_bo_exact_gp_posterior(landscape):
+    """arch="gp" gives GPR_BO what its name promises: a real GP posterior.
+
+    The reference's GPR_BO sigma is np.std over a scalar = 0 everywhere
+    (reference bo.py:319, preserved-quirks list), so Thompson/UCB collapse
+    to greedy there.  The exact-GP surrogate's analytic sigma makes
+    Thompson sampling genuinely stochastic: two Thompson runs with
+    different seeds must diverge in their proposals while a Greedy run on
+    the same posterior is seed-invariant.
+    """
+    spec = SurrogateSpec(arch="gp", gp_opt_steps=15)
+    kw = dict(model="surrogate", surrogate_spec=spec, rounds=2,
+              sequences_batch_size=5)
+    t1, meta = _run(landscape, method="Thompson", seed=1, **kw)
+    t2, _ = _run(landscape, method="Thompson", seed=2, **kw)
+    assert meta["model_name"] == "gaussian_process"
+    assert t1["sequence"].tolist() != t2["sequence"].tolist()
+    g1, _ = _run(landscape, method="Greedy", seed=1, **kw)
+    g2, _ = _run(landscape, method="Greedy", seed=2, **kw)
+    assert g1["sequence"].tolist() == g2["sequence"].tolist()
+    for df in (t1, t2, g1, g2):
+        assert df["true_score"].max() >= df["true_score"].iloc[0]
+
+
 def test_gpr_bo_seed_determinism(landscape):
     a, _ = _run(landscape, seed=7)
     b, _ = _run(landscape, seed=7)

@@ -106,6 +106,79 @@ def test_gem_and_linear_archs_run_fused(landscape):
     )
 
 
+def test_gp_arch_matches_host_gp_posterior():
+    """arch="gp" reproduces JaxGaussianProcessRegressor's mean AND std."""
+    import jax.numpy as jnp
+
+    from flexs_tpu.baselines.models.jax_gp import JaxGaussianProcessRegressor
+
+    rng = np.random.default_rng(3)
+    L, A, n, cap = 8, 4, 40, 64
+    tokens_np = rng.integers(0, A, size=(cap, L)).astype(np.int32)
+    y_np = rng.normal(size=cap).astype(np.float32)
+    truth = jnp.where(jnp.arange(cap) < n, jnp.asarray(y_np), -np.inf)
+
+    spec = surrogate.SurrogateSpec(arch="gp")
+    assert spec.model_name == "gaussian_process"
+    with pytest.raises(ValueError):  # capacity is required for gp
+        surrogate.init_state(spec, A, L, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):  # exact posterior: no ensembling
+        surrogate.init_state(
+            spec._replace(ensemble_size=3), A, L, jax.random.PRNGKey(0),
+            capacity=cap,
+        )
+
+    state = surrogate.init_state(spec, A, L, jax.random.PRNGKey(0), capacity=cap)
+    state = surrogate.train(
+        spec, A, state, jnp.asarray(tokens_np), truth, n, jax.random.PRNGKey(1)
+    )
+    query = rng.integers(0, A, size=(16, L)).astype(np.int32)
+    mu, sig = surrogate.posterior(spec, A, state, jnp.asarray(query))
+    assert float(jnp.min(sig)) > 0  # a REAL posterior spread
+
+    # Host model fit on the same bucketed shapes (next_bucket(40) = 64).
+    host = JaxGaussianProcessRegressor("TGCA")
+    decode = lambda rows: ["".join("TGCA"[t] for t in row) for row in rows]
+    host.train(decode(tokens_np[:n]), y_np[:n])
+    np.testing.assert_allclose(
+        np.asarray(mu), host.fitness_from_tokens(query), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(sig), host.fitness_std_from_tokens(query), atol=2e-3
+    )
+    # predict() is the posterior mean.
+    np.testing.assert_allclose(
+        np.asarray(surrogate.predict(spec, A, state, jnp.asarray(query))),
+        np.asarray(mu),
+        atol=1e-6,
+    )
+
+
+def test_gp_arch_runs_fused(landscape):
+    """The exact-GP surrogate drives the fused Adalead and Evo-BO runners."""
+    from flexs_tpu.runtime.bo_runner import DeviceBONAM
+
+    spec = surrogate.SurrogateSpec(arch="gp", gp_opt_steps=15)
+    for cls, kw in (
+        (DeviceAdaleadNAM, {}),
+        (DeviceBONAM, dict(num_chains=4, method="EI")),
+    ):
+        explorer = cls(
+            landscape,
+            "TGCA",
+            rounds=2,
+            sequences_batch_size=8,
+            model_queries_per_batch=40,
+            starting_sequence=tf_binding.STARTS[0],
+            model="surrogate",
+            surrogate_spec=spec,
+            **kw,
+        )
+        df, meta = explorer.run(verbose=False)
+        assert meta["model_name"] == "gaussian_process"
+        assert df["true_score"].max() >= df["true_score"].iloc[0]
+
+
 def test_adaptive_ensemble_weights():
     """Adaptive specs reweight members by holdout r^2 (sum to 1)."""
     import jax
