@@ -168,7 +168,45 @@ def run_rna_oracle(batch: int = 512, l1: int = 100, reps: int = 20):
     return batch / med, [round(batch / s, 1) for s in (spread[1], spread[0])], bitexact
 
 
+def _preflight(timeout_s: float = 180.0) -> bool:
+    """True iff the backend answers a tiny round-trip within the deadline.
+
+    The remote-TPU relay can wedge completely (even `jax.devices()` then
+    blocks forever — CLAUDE.md); a daemon-thread probe bounds the hang so
+    a driver bench run fails loudly instead of never returning.
+    """
+    import threading
+
+    ok = []
+
+    def probe():
+        import numpy as np
+        import jax.numpy as jnp
+
+        ok.append(float(np.asarray(jnp.ones((8, 8))).sum()))
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
+    if not _preflight():
+        print(
+            json.dumps(
+                {
+                    "metric": "robustness_sweep_seqs_per_sec_per_chip",
+                    "value": 0,
+                    "unit": "seqs/sec",
+                    "vs_baseline": 0,
+                    "error": "backend preflight timed out after 180s "
+                    "(TPU relay unreachable); no measurement taken",
+                }
+            )
+        )
+        return
+
     # Single-run path (compile warmup + median of 3).
     run_once(seed=0)
     walls, tops, seqs = [], [], 0

@@ -148,8 +148,12 @@ print(sweep[["landscape", "start", "signal_strength", "max_fitness"]].to_string(
 # Every fused algorithm accepts every model mode ("nam"/"perfect"/
 # "surrogate") — adalead, random, ga, cmaes, bo, gpr_bo, dqn, ppo, cbas,
 # dbas, plus dynappo/dynappo_mutative (whose built-in r²-gated ensemble
-# replaces the surrogate mode) — pick the explorer with `algorithm=` and,
-# for long
+# replaces the surrogate mode).  SurrogateSpec(arch=...) picks the
+# in-program model family: "cnn"/"mlp"/"gem" (SGD-trained Flax nets),
+# "linear" (closed-form OLS), or "gp" — an EXACT Gaussian-process
+# posterior whose analytic sigma powers BO/GPR_BO acquisitions (the
+# reference's GPR_BO sigma is identically 0).  Pick the explorer with
+# `algorithm=` and, for long
 # sweeps, make them preemption-safe with `chunk_size` + `checkpoint_dir`
 # (each completed chunk is written to disk; rerunning the same sweep
 # resumes past it).  The same matrix is exposed on the command line:

@@ -237,6 +237,85 @@ def bench_matrix(rounds: int):
         )
 
 
+def bench_archs(rounds: int):
+    """Quality/latency rows for the surrogate ARCH matrix (beyond cnn).
+
+    TF-Bind-8 SIX6_REF_R1, paper config, 2 starts per arch:
+      * Adalead with mlp / gem / linear / gp in-program surrogates
+        (cnn's row comes from the headline benches).
+      * GPR_BO with arch="gp" Thompson — the showcase: acquisition over a
+        REAL analytic GP posterior, which the reference's GPR_BO never has
+        (sigma identically 0, reference bo.py:319).
+    No reference rows exist for any of these (the paper's trained-model
+    experiments were CNN-only): capability + in-band quality record.
+    """
+    import flexs_tpu as flexs
+    from flexs_tpu.landscapes import tf_binding
+    from flexs_tpu.runtime.gpr_bo_runner import DeviceGPRBONAM
+    from flexs_tpu.runtime.jit_runner import DeviceAdaleadNAM
+    from flexs_tpu.runtime.surrogate import SurrogateSpec
+
+    landscape = flexs.landscapes.TFBinding(name="SIX6_REF_R1")
+    common = dict(
+        rounds=rounds,
+        sequences_batch_size=100,
+        model_queries_per_batch=2000,
+        model="surrogate",
+    )
+    for arch in ("mlp", "gem", "linear", "gp"):
+        scores, times = [], []
+        for start in tf_binding.STARTS[:2]:
+            explorer = DeviceAdaleadNAM(
+                landscape,
+                "TGCA",
+                starting_sequence=start,
+                surrogate_spec=SurrogateSpec(arch=arch),
+                **common,
+            )
+            t0 = time.time()
+            df, _ = explorer.run(verbose=False)
+            first = time.time() - t0
+            t0 = time.time()
+            df, _ = explorer.run(verbose=False)
+            steady = time.time() - t0
+            scores.append(df["true_score"].max())
+            times.append(steady)
+            print(
+                f"  adalead-{arch} {start}: max {scores[-1]:.3f} "
+                f"(first {first:.1f}s, steady {steady:.2f}s)"
+            )
+        print(
+            f"adalead-{arch} mean {np.mean(scores):.3f} "
+            f"steady {np.mean(times):.2f}s/run"
+        )
+    scores, times = [], []
+    for start in tf_binding.STARTS[:2]:
+        explorer = DeviceGPRBONAM(
+            landscape,
+            "TGCA",
+            starting_sequence=start,
+            method="Thompson",
+            surrogate_spec=SurrogateSpec(arch="gp"),
+            **common,
+        )
+        t0 = time.time()
+        df, _ = explorer.run(verbose=False)
+        first = time.time() - t0
+        t0 = time.time()
+        df, _ = explorer.run(verbose=False)
+        steady = time.time() - t0
+        scores.append(df["true_score"].max())
+        times.append(steady)
+        print(
+            f"  gpr_bo-gp-thompson {start}: max {scores[-1]:.3f} "
+            f"(first {first:.1f}s, steady {steady:.2f}s)"
+        )
+    print(
+        f"gpr_bo-gp-thompson mean {np.mean(scores):.3f} "
+        f"steady {np.mean(times):.2f}s/run"
+    )
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--starts", type=int, default=5)
@@ -247,8 +326,13 @@ def main():
                         help="measure the fused-surrogate sweep throughput")
     parser.add_argument("--matrix", action="store_true",
                         help="quality rows for random/dqn/ppo/cbas surrogate modes")
+    parser.add_argument("--archs", action="store_true",
+                        help="quality rows for the mlp/gem/linear/gp archs")
     args = parser.parse_args()
 
+    if args.archs:
+        bench_archs(args.rounds)
+        return
     if args.matrix:
         bench_matrix(args.rounds)
         return

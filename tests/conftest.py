@@ -28,3 +28,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    A full-suite run accumulates hundreds of XLA:CPU executables in one
+    process; near the end of the suite the next LLVM compile can segfault
+    (observed in jax compiler.backend_compile_and_load on this 1-core
+    host).  Per-module cache clearing keeps within-module jit reuse (the
+    expensive fused-runner compiles are shared within a module) while
+    bounding process-lifetime compiler state.
+    """
+    yield
+    jax.clear_caches()
