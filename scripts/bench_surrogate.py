@@ -328,7 +328,16 @@ def main():
                         help="quality rows for random/dqn/ppo/cbas surrogate modes")
     parser.add_argument("--archs", action="store_true",
                         help="quality rows for the mlp/gem/linear/gp archs")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (smoke runs; the site "
+                        "PJRT plugin overrides JAX_PLATFORMS env vars, so "
+                        "only jax.config.update can select CPU)")
     args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.archs:
         bench_archs(args.rounds)
