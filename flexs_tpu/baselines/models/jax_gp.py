@@ -110,7 +110,7 @@ def gp_fit(tokens, labels, valid, opt_steps: int = 150):
     return theta, dual, chol
 
 
-_fit_gp = jax.jit(gp_fit)
+_fit_gp = jax.jit(gp_fit, static_argnames="opt_steps")
 
 
 def gp_posterior(tokens, train_tokens, theta, dual, chol, valid):

@@ -139,6 +139,11 @@ def main(argv=None) -> int:
         if args.model == "surrogate":
             from flexs_tpu.runtime.surrogate import SurrogateSpec
 
+            if args.surrogate_arch == "gp" and args.surrogate_ensemble != 1:
+                parser.error(
+                    "--surrogate-arch gp is an exact posterior; "
+                    "--surrogate-ensemble must stay 1"
+                )
             surrogate_spec = SurrogateSpec(
                 arch=args.surrogate_arch,
                 ensemble_size=args.surrogate_ensemble,

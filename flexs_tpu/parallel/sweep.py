@@ -277,7 +277,18 @@ def _sweep_signature(
                 "algorithm": algorithm,
                 "algorithm_kwargs": sorted((algorithm_kwargs or {}).items()),
                 "model": model,
-                "surrogate_spec": list(surrogate_spec) if surrogate_spec else None,
+                # Only non-default fields enter the signature, so adding a
+                # new SurrogateSpec knob (at its default) never invalidates
+                # existing checkpoints of unrelated sweeps.
+                "surrogate_spec": (
+                    sorted(
+                        (k, v)
+                        for k, v in surrogate_spec._asdict().items()
+                        if v != type(surrogate_spec)()._asdict()[k]
+                    )
+                    if surrogate_spec
+                    else None
+                ),
                 "cfg": {
                     k: v for k, v in cfg._asdict().items() if k != "surrogate"
                 },

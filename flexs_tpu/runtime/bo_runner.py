@@ -252,9 +252,6 @@ def run_bo_nam(
                     acq = jnp.where(
                         sig > 1e-12, ei, jnp.maximum(vals - best_fit, 0.0)
                     )
-                model_cost_s, landscape_cost_s = costs
-                costs = (model_cost_s + C * M, landscape_cost_s)
-                pos = jnp.full((C * M,), cache_cap - 1, jnp.int32)
             elif cfg.surrogate is not None:
                 # Per-member acquisition over the in-program ensemble
                 # (docstring; reference bo.py:125-133, 170-185).
@@ -268,14 +265,18 @@ def run_bo_nam(
                     acq = jnp.mean(
                         jnp.maximum(member_vals - best_fit, 0.0), axis=0
                     )
-                model_cost_s, landscape_cost_s = costs
-                costs = (model_cost_s + C * M, landscape_cost_s)
-                pos = jnp.full((C * M,), cache_cap - 1, jnp.int32)
             else:
                 cache, costs, vals, pos = nam_query(cache, costs, flat, k_nam)
                 # Single NAM member: EI and UCB both reduce to the
                 # predicted fitness — module docstring.
                 acq = vals
+            if cfg.surrogate is not None:
+                # Both surrogate paths: charge the model the screen size
+                # and park cache positions at the sentinel row (no NAM
+                # cache in surrogate mode).
+                model_cost_s, landscape_cost_s = costs
+                costs = (model_cost_s + C * M, landscape_cost_s)
+                pos = jnp.full((C * M,), cache_cap - 1, jnp.int32)
 
             pick = acq.reshape(C, M).argmax(axis=1)
             take = jnp.arange(C) * M + pick

@@ -160,14 +160,24 @@ def run_gpr_bo_nam(
             kc = jax.random.fold_in(k_round, c)
             k_exp, k_choice, k_thom = jax.random.split(kc, 3)
 
-            if cfg.surrogate is not None:
-                # Ensembles: combined mean + member-spread sigma (the
-                # reference's proxy); arch="gp": the exact analytic
-                # posterior — a REAL sigma, which the reference's GPR_BO
-                # never has (np.std-over-a-scalar quirk, bo.py:319).
+            if cfg.surrogate is not None and cfg.surrogate.arch == "gp":
+                # arch="gp": the exact analytic posterior — a REAL sigma,
+                # which the reference's GPR_BO never has
+                # (np.std-over-a-scalar quirk, bo.py:319).
                 mu, sigma = surrogate_lib.posterior(
                     cfg.surrogate, A, surr_state, tokens_c
                 )
+                n_fresh = jnp.int32(0)
+            elif cfg.surrogate is not None:
+                # Ensembles: UNWEIGHTED member mean + member-spread sigma,
+                # exactly the reference's statistics (bo.py:318-319
+                # np.mean/np.std over member columns — combine weights do
+                # not enter GPR_BO even for adaptive ensembles).
+                member_vals = surrogate_lib.predict_members(
+                    cfg.surrogate, A, surr_state, tokens_c
+                )
+                mu = jnp.mean(member_vals, axis=0)
+                sigma = jnp.std(member_vals, axis=0)
                 n_fresh = jnp.int32(0)
             elif cfg.perfect_model:
                 mu = fitness_fn(fitness_params, tokens_c)

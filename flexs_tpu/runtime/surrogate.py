@@ -227,8 +227,7 @@ def train(
         # same math as JaxGaussianProcessRegressor, here inside the fused
         # program so the state rides the lax.scan round carry).
         valid = (jnp.arange(tokens.shape[0]) < n_rows) & jnp.isfinite(truth)
-        y = jnp.where(valid, truth, 0.0)
-        theta, dual, chol = gp_fit(tokens, y, valid, spec.gp_opt_steps)
+        theta, dual, chol = gp_fit(tokens, truth, valid, spec.gp_opt_steps)
         return state._replace(
             params={
                 "train_tokens": tokens,
