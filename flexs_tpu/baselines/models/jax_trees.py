@@ -150,10 +150,16 @@ def fit_forest(X, y, w, key, n_trees: int, depth: int):
 
     def one(k):
         # Bootstrap: multinomial counts as integer sample weights, drawn
-        # only over live rows (w > 0).
+        # only over live rows (w > 0).  sklearn draws n_live samples from
+        # n_live rows; drawing the padded bucket size instead would
+        # oversample small training sets ~(n/n_live)x and shrink
+        # inter-tree variance, so only the first n_live of the n fixed-
+        # shape draws are kept (== multinomial(n_live, p)).
+        n_live = jnp.sum(w > 0)
         p = w / jnp.maximum(jnp.sum(w), 1e-9)
         idx = jax.random.categorical(k, jnp.log(p + 1e-30), shape=(n,))
-        counts = jnp.zeros((n,), jnp.float32).at[idx].add(1.0)
+        keep = (jnp.arange(n) < n_live).astype(jnp.float32)
+        counts = jnp.zeros((n,), jnp.float32).at[idx].add(keep)
         # All-padding guard: keep weights zero if no live rows.
         counts = counts * (jnp.sum(w) > 0)
         return _grow_tree(X, y, counts, depth)

@@ -224,9 +224,8 @@ def run_dyna_ppo_mutative_nam(
         dup = jnp.any(eq & jnp.tril(jnp.ones_like(eq, dtype=bool), k=-1)
                       & mask[None, :], axis=1)
         insert = mask & ~exists & ~dup
-        _, _, n_den, (den_pk2, den_fit2) = _masked_append(
-            jnp.zeros((den_pk.shape[0], 1), jnp.int32), pk[:, :1].astype(jnp.int32),
-            n_den, insert, aux_bufs=(den_pk, den_fit), aux_rows=(pk, fit),
+        den_pk2, _, n_den, (den_fit2,) = _masked_append(
+            den_pk, pk, n_den, insert, aux_bufs=(den_fit,), aux_rows=(fit,),
         )
         return den_pk2, den_fit2, n_den
 
@@ -521,6 +520,10 @@ def run_dyna_ppo_mutative_nam(
             live = jnp.arange(gen_cap) < n_gen
             top = jnp.max(jnp.where(live, gen_fit, -jnp.inf))
             band = live & (gen_fit >= 0.9 * top)
+            # 0.9*top > top when top < 0, leaving the band empty; the
+            # reference then seeds uniformly from ALL recorded sequences
+            # (dyna_ppo.py:440-446).
+            band = jnp.where(jnp.any(band), band, live)
             n_band = jnp.maximum(jnp.sum(band.astype(jnp.int32)), 1)
             ranks = jnp.cumsum(band.astype(jnp.int32)) - 1
             pos_of_rank = jnp.zeros((gen_cap,), jnp.int32).at[
@@ -535,9 +538,18 @@ def run_dyna_ppo_mutative_nam(
             cond, body,
             (jnp.int32(0), buf, cache, costs, den, gen, seeds, key),
         )
-        policy, opt_state, obs_stats = ppo_train(
+        new_policy, new_opt, new_stats = ppo_train(
             policy, opt_state, obs_stats, buf, n_b
         )
+        # A zero-batch phase (budget already exhausted) must be a true
+        # no-op: with no data the gradients are exactly 0 but Adam's
+        # carried momentum would still move the policy — the reference
+        # always trains on >= 1 collected episode.
+        has = n_b > 0
+        sel = lambda a, b: jnp.where(has, a, b)
+        policy = jax.tree.map(sel, new_policy, policy)
+        opt_state = jax.tree.map(sel, new_opt, opt_state)
+        obs_stats = jax.tree.map(sel, new_stats, obs_stats)
         return (policy, opt_state, obs_stats, cache, costs, den, gen,
                 seeds), key
 
@@ -588,9 +600,11 @@ def run_dyna_ppo_mutative_nam(
             key,
         ) = carry
 
-        # Annealed experiment budget (dyna_ppo.py:477-481): current_round
-        # at proposal time is r (0-based) = rounds already measured - 1.
-        exp_budget = ((R - r) * (B // 2)) // R
+        # Annealed experiment budget (dyna_ppo.py:475-481): current_round
+        # at proposal time is r (0-based) = rounds already measured - 1,
+        # so the reference's int((rounds - current_round + 1)/rounds * B/2)
+        # is ((R - r + 1) * B) // (2 * R) here.
+        exp_budget = ((R - r + 1) * B) // (2 * R)
 
         empty_gen = (
             jnp.zeros((gen_cap, words), jnp.uint32),
@@ -606,10 +620,18 @@ def run_dyna_ppo_mutative_nam(
         # Recorded pool cleared after the experiment phase
         # (dyna_ppo.py:494-496) — replaced with a fresh one.
         state = state[:6] + (empty_gen, state[7])
+        # Total-model-budget break (dyna_ppo.py:497-499): once the model
+        # phases together have spent >= model_queries_per_batch, the
+        # remaining phases are skipped — here by handing them a zero
+        # budget, which makes run_phase's while_loop a no-op (and its
+        # PPO update a no-op via the n_b > 0 gate).
+        pre_model_cost = state[4][0]
         for _ph in range(num_model_rounds):
             key, k2 = jax.random.split(key)
+            spent = state[4][0] - pre_model_cost
+            budget_t = jnp.where(spent >= budget, 0, phase_budget)
             state, key = run_phase(
-                state, max_model_b, False, phase_budget, k2
+                state, max_model_b, False, budget_t, k2
             )
         (policy, opt_state, obs_stats, cache, costs, den, gen, seeds) = state
         gen_pk, gen_fit, n_gen, gen_tokens = gen

@@ -356,7 +356,13 @@ def train(
 
         r2s = jax.vmap(member_r2)(new_state.params)
         wts = r2s / jnp.maximum(jnp.sum(r2s), 1e-9)
-        weight = jnp.where(use_split, wts, new_state.weight)
+        # Degenerate holdouts (constant labels/predictions) give every
+        # member r^2 = 0; all-zero weights would zero the combined
+        # prediction entirely, so keep the previous weights instead —
+        # the same fallback the < 10-rows path takes.
+        weight = jnp.where(
+            use_split & (jnp.sum(r2s) > 0), wts, new_state.weight
+        )
         new_state = new_state._replace(weight=weight)
     return new_state
 
