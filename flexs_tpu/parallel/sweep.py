@@ -106,11 +106,21 @@ def sweep_adalead_nam(
     table_idx = jnp.asarray(table_idx, jnp.int32)
     start_tokens = jnp.asarray(start_tokens, jnp.int32)
     signal_strengths = jnp.asarray(signal_strengths, jnp.float32)
-    keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
+    # uint32 before PRNGKey: jnp.asarray would silently truncate int64
+    # seeds to int32 (x64 disabled), diverging from the generic path's
+    # uint32 handling for seeds >= 2**31.
+    keys = jax.vmap(jax.random.PRNGKey)(
+        jnp.asarray(np.asarray(seeds).astype(np.uint32))
+    )
 
     n = len(table_idx)
+    if mesh is not None and chunk_size is not None:
+        # Each chunk shards over the whole mesh, so it must be a mesh
+        # multiple (matches the generic path).
+        chunk_size = -(-chunk_size // mesh.devices.size) * mesh.devices.size
     if chunk_size is None or chunk_size >= n:
         chunks = [slice(0, n)]
+        chunk_size = None  # disable tail padding: one exact-size dispatch
     else:
         # Pad the tail chunk up to chunk_size (repeating cell 0) so every
         # dispatch reuses one compiled shape.
@@ -310,6 +320,45 @@ def _checkpoint_chunk_path(checkpoint_dir: str, i: int) -> str:
     return os.path.join(checkpoint_dir, f"chunk_{i:05d}.npz")
 
 
+def _pad_cells_to_mesh(mesh, *arrays):
+    """Pad cell-axis arrays to a mesh-size multiple (shared by both paths).
+
+    Wraps indices so grids SMALLER than the mesh still pad fully; padding
+    rows repeat real cells and are dropped from the summary.
+    """
+    n = len(arrays[0])
+    pad = (-n) % mesh.devices.size
+    if not pad:
+        return arrays
+    pidx = np.arange(pad) % n
+    return tuple(np.concatenate([a, a[pidx]]) for a in arrays)
+
+
+def _summary_df(result, cells) -> pd.DataFrame:
+    """Per-cell summary rows shared by both sweep paths.
+
+    `cells` yields (landscape_name, start, signal_strength, seed) per
+    leading result row; padded result rows beyond len(cells) are dropped.
+    """
+    truth = np.where(result.proposal_valid, result.proposal_truth, -np.inf)
+    max_fitness = np.maximum(truth.max(axis=(1, 2)), result.start_truth)
+    return pd.DataFrame(
+        [
+            {
+                "landscape": ln,
+                "start": st,
+                "signal_strength": ss,
+                "seed": sd,
+                "max_fitness": float(max_fitness[i]),
+                "start_fitness": float(result.start_truth[i]),
+                "model_cost": int(result.model_cost[i, -1]),
+                "landscape_cost": int(result.landscape_cost[i, -1]),
+            }
+            for i, (ln, st, ss, sd) in enumerate(cells)
+        ]
+    )
+
+
 def _init_checkpoint_dir(checkpoint_dir: str, signature: str) -> None:
     """Create the dir and pin the sweep signature; reject a mismatched resume."""
     os.makedirs(checkpoint_dir, exist_ok=True)
@@ -392,7 +441,8 @@ def run_landscape_robustness_sweep(
     cell axis and the fused runner is vmapped over them.
 
     `algorithm` selects the fused explorer family ("adalead", "random",
-    "ga", "cmaes", "bo", "dqn", "ppo", "dynappo", "cbas", "dbas");
+    "ga", "cmaes", "bo", "gpr_bo", "dqn", "ppo", "dynappo",
+    "dynappo_mutative", "cbas", "dbas");
     `algorithm_kwargs` are its static hyperparameters.
 
     `model` selects the fused surrogate family: "nam" (sweeps
@@ -418,7 +468,14 @@ def run_landscape_robustness_sweep(
     fitness_fn = fns_params[0][0]
     if any(fn is not fitness_fn for fn, _ in fns_params):
         raise ValueError("all landscapes must share one device fitness fn")
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *(p for _, p in fns_params))
+    # Stack params on the HOST: the full grid's per-cell params copy
+    # (cells x leaf) lives in host RAM and only each chunk's slice is
+    # uploaded, so chunk_size bounds params HBM alongside run buffers.
+    # (np.asarray fetches any device-resident leaves once per landscape.)
+    stacked = jax.tree.map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]),
+        *(p for _, p in fns_params),
+    )
 
     cells = [
         (li, st, ss, sd)
@@ -432,16 +489,9 @@ def run_landscape_robustness_sweep(
     ss_arr = np.array([c[2] for c in cells], np.float32)
     seed_arr = np.array([c[3] for c in cells], np.uint32)
     if mesh is not None:
-        # Pad the cell batch to a multiple of the mesh size so it shards
-        # evenly (padding repeats cell 0; dropped from the summary).
-        pad = (-len(cells)) % mesh.devices.size
-        if pad:
-            # Wrap indices so grids SMALLER than the mesh still pad fully.
-            pidx = np.arange(pad) % len(cells)
-            land_idx = np.concatenate([land_idx, land_idx[pidx]])
-            start_tokens = np.concatenate([start_tokens, start_tokens[pidx]])
-            ss_arr = np.concatenate([ss_arr, ss_arr[pidx]])
-            seed_arr = np.concatenate([seed_arr, seed_arr[pidx]])
+        land_idx, start_tokens, ss_arr, seed_arr = _pad_cells_to_mesh(
+            mesh, land_idx, start_tokens, ss_arr, seed_arr
+        )
     keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seed_arr))
     cell_params = jax.tree.map(lambda x: x[land_idx], stacked)
 
@@ -471,6 +521,7 @@ def run_landscape_robustness_sweep(
     n = len(land_idx)  # padded cell count (shards evenly over the mesh)
     if chunk_size is None or chunk_size >= n:
         slices = [slice(0, n)]
+        chunk_size = None  # disable tail padding: one exact-size dispatch
     else:
         slices = [slice(i, min(i + chunk_size, n)) for i in range(0, n, chunk_size)]
 
@@ -536,23 +587,10 @@ def run_landscape_robustness_sweep(
         else jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *results)
     )
 
-    truth = np.where(result.proposal_valid, result.proposal_truth, -np.inf)
-    max_fitness = np.maximum(truth.max(axis=(1, 2)), result.start_truth)
-    rows = []
-    for i, (li, st, ss, sd) in enumerate(cells):
-        rows.append(
-            {
-                "landscape": landscapes[li].name,
-                "start": st,
-                "signal_strength": ss,
-                "seed": sd,
-                "max_fitness": float(max_fitness[i]),
-                "start_fitness": float(result.start_truth[i]),
-                "model_cost": int(result.model_cost[i, -1]),
-                "landscape_cost": int(result.landscape_cost[i, -1]),
-            }
-        )
-    return pd.DataFrame(rows)
+    return _summary_df(
+        result,
+        [(landscapes[li].name, st, ss, sd) for li, st, ss, sd in cells],
+    )
 
 
 def run_efficiency_sweep(
@@ -740,16 +778,9 @@ def run_robustness_sweep(
     seed_arr = np.array([c.seed for c in cells], np.int64)
 
     if mesh is not None:
-        # Pad the cell count to a multiple of the mesh size.
-        n_dev = mesh.devices.size
-        pad = (-len(cells)) % n_dev
-        if pad:
-            # Wrap indices so grids SMALLER than the mesh still pad fully.
-            pidx = np.arange(pad) % len(cells)
-            table_idx = np.concatenate([table_idx, table_idx[pidx]])
-            start_tokens = np.concatenate([start_tokens, start_tokens[pidx]])
-            ss_arr = np.concatenate([ss_arr, ss_arr[pidx]])
-            seed_arr = np.concatenate([seed_arr, seed_arr[pidx]])
+        table_idx, start_tokens, ss_arr, seed_arr = _pad_cells_to_mesh(
+            mesh, table_idx, start_tokens, ss_arr, seed_arr
+        )
 
     cfg = AdaleadConfig(
         rounds=rounds,
@@ -768,21 +799,4 @@ def run_robustness_sweep(
         chunk_size=chunk_size,
     )
     result = jax.tree.map(np.asarray, result)
-
-    truth = np.where(result.proposal_valid, result.proposal_truth, -np.inf)
-    max_fitness = np.maximum(truth.max(axis=(1, 2)), result.start_truth)
-    rows = []
-    for i, c in enumerate(cells):
-        rows.append(
-            {
-                "landscape": c.landscape,
-                "start": c.start,
-                "signal_strength": c.signal_strength,
-                "seed": c.seed,
-                "max_fitness": float(max_fitness[i]),
-                "start_fitness": float(result.start_truth[i]),
-                "model_cost": int(result.model_cost[i, -1]),
-                "landscape_cost": int(result.landscape_cost[i, -1]),
-            }
-        )
-    return pd.DataFrame(rows)
+    return _summary_df(result, cells)

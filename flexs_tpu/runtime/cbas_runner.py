@@ -24,12 +24,19 @@ Semantics per host explorer (reference cbas_dbas.py:85-192):
   * the round proposes the top `sequences_batch_size` generated sequences
     by model score.
 
-Documented deviations: VAE minibatches are drawn by shuffling the
-fixed-capacity padded pool (padding rows carry weight 0 and contribute no
-gradient) rather than only the filled prefix, and temperature escalation
-counts actual rejections but updates the count once per sampled batch
-(all candidates within a batch share a temperature, where the reference
-escalates between consecutive single draws) — close but not draw-for-draw.
+Documented deviations: VAE epochs sort the POSITIVE-WEIGHT rows first
+(random among themselves) and run a dynamic `ceil(n_pos / batch_size)`
+minibatch loop over only those (the round-3 latency fix) — Keras would
+shuffle zero-weight rows into batches too, so the device runs fewer
+steps per epoch whenever the pool holds gamma-zeroed rows (those rows
+contribute no gradient either way; batch compositions differ);
+temperature escalation counts actual rejections but updates the count
+once per sampled batch (all candidates within a batch share a
+temperature, where the reference escalates between consecutive single
+draws) — close but not draw-for-draw; and the round proposes exactly
+`sequences_batch_size` sequences where the host/reference
+`np.argsort(preds)[:-B:-1]` idiom yields B-1 (the family-wide fused
+convention, see runtime/jit_runner.py).
 """
 import time
 from functools import partial
