@@ -156,22 +156,12 @@ class RNABinding(Landscape):
         return self._jit_fitness(self._fitness_params, jnp.asarray(tokens))
 
     def _pallas_fitness(self, tokens) -> jnp.ndarray:
-        from flexs_tpu.ops.pallas_duplex import duplex_energy_batch_pallas
-
-        tokens = jnp.asarray(tokens)
-        energies = jnp.stack(
-            [
-                duplex_energy_batch_pallas(
-                    tokens, _RNA.encode_one(t), self.params
-                )
-                / n
-                for t, n in zip(self.targets, self.norm_values)
-            ]
+        # Reuse the device-cached params (reversed target tokens + energy
+        # model): re-encoding targets per call uploaded a fresh host
+        # array per target per call (~40 ms each through the relay).
+        return _rna_binding_fitness_pallas(
+            self._fitness_params, jnp.asarray(tokens)
         )
-        fit = jnp.mean(energies, axis=0)
-        conserved = self._fitness_params[-1]
-        ok = jnp.all((conserved < 0) | (tokens == conserved[None, :]), axis=1)
-        return jnp.where(ok, fit, 0.0)
 
     def device_fitness(self):
         """(pure fitness fn, params) pair for fused device runners.
@@ -225,10 +215,12 @@ def _nussinov_stack_mfe(tokens, stack_tbl, hairpin_penalty, min_hairpin: int = 3
         unpaired = w[i_idx, jnp.maximum(j_safe - 1, 0)]
         unpaired = jnp.where(span > 0, unpaired, 0.0)
 
-        # Option 2: k pairs j for k in [i, j - min_hairpin).
+        # Option 2: k pairs j for k in [i, j - min_hairpin), i.e. at least
+        # min_hairpin unpaired bases between k and j (ViennaRNA's hairpin
+        # minimum): j - k - 1 >= min_hairpin <=> k_off + min_hairpin < span.
         def pair_option(k_off):
             k = i_idx + k_off
-            can = (k_off + min_hairpin < span) | (k_off + min_hairpin == span)
+            can = k_off + min_hairpin < span
             pt = ptype[jnp.minimum(k, L - 1), j_safe]
             inner_pt = ptype[jnp.minimum(k + 1, L - 1), jnp.maximum(j_safe - 1, 0)]
             stack_credit = jnp.where(
@@ -272,8 +264,20 @@ class RNAFolding(Landscape):
         return _folding_fitness_fn, (self._stack, jnp.float32(self.norm_value))
 
     def _fitness_function(self, sequences: SEQUENCES_TYPE) -> np.ndarray:
-        tokens = _RNA.encode(list(sequences))
-        return np.asarray(self.fitness_from_tokens(tokens), dtype=np.float64)
+        # The reference RNAFolding folds each string independently
+        # (reference rna.py:15-27, no fixed length) — batch per length so
+        # mixed-length queries work on the rectangular token path.
+        seqs = list(sequences)
+        out = np.empty(len(seqs), np.float64)
+        by_len: Dict[int, list] = {}
+        for i, s in enumerate(seqs):
+            by_len.setdefault(len(s), []).append(i)
+        for idxs in by_len.values():
+            tokens = _RNA.encode([seqs[i] for i in idxs])
+            out[idxs] = np.asarray(
+                self.fitness_from_tokens(tokens), dtype=np.float64
+            )
+        return out
 
 
 def _folding_fitness_fn(params, tokens):

@@ -335,6 +335,15 @@ def _pallas_duplex_batch(seq_tokens, target_rev, em, maxloop: int,
                          interpret: bool, group: int = SUBLANES,
                          k_groups: int = 1):
     """`k_groups` sublane groups of `group` sequences per program."""
+    if maxloop < 3:
+        # maxloop <= 2 leaves the unrolled interior/bulge combo lists
+        # empty and the kernel fails deep inside tracing; the XLA slab
+        # path (duplex_energy_from_slabs) handles small maxloop via +inf
+        # table entries.
+        raise ValueError(
+            f"the Pallas duplex kernel needs maxloop >= 3 (got {maxloop}); "
+            "use rna_duplex.duplex_energy_from_slabs for smaller values"
+        )
     d = maxloop + 2
     b, l1 = seq_tokens.shape
     l2 = target_rev.shape[0]

@@ -107,3 +107,34 @@ def test_round_timer_accumulates():
     summary = timer.summary()
     assert set(summary) == {"train", "propose"}
     assert summary["train"] >= 0
+
+
+def test_resume_rejects_foreign_log(tmp_path):
+    """Resuming over a log written by a DIFFERENT experiment must raise."""
+    import pytest
+
+    log = str(tmp_path / "run.csv")
+    partial = _explorer(rounds=2, log_file=log)
+    partial.run(FakeLandscape(), verbose=False)
+    other = flexs.baselines.explorers.Random(
+        FakeModel(),
+        rounds=4,
+        sequences_batch_size=7,  # different batch size = different run
+        model_queries_per_batch=20,
+        starting_sequence="TTGCAGCA",
+        alphabet=flexs.DNAA,
+        seed=0,
+    )
+    with pytest.raises(ValueError, match="DIFFERENT experiment"):
+        checkpointing.resume_explorer(other, FakeLandscape(), log, verbose=False)
+
+
+def test_resume_fresh_run_creates_log_dir(tmp_path):
+    """A fresh resume_explorer run makedirs for a nested log path."""
+    log = str(tmp_path / "nested" / "dir" / "run.csv")
+    df, _ = checkpointing.resume_explorer(
+        _explorer(rounds=1), FakeLandscape(), log, verbose=False
+    )
+    assert df["round"].max() == 1
+    df2, _ = checkpointing.load_run(log)
+    assert len(df2) == len(df)

@@ -164,3 +164,30 @@ def test_rna_folding_device_fitness_fused_runner():
     seqs = df["sequence"].tolist()
     host = landscape.get_fitness(seqs)
     np.testing.assert_allclose(df["true_score"].to_numpy(), host, atol=1e-5)
+
+
+def test_rna_folding_mixed_length_batch():
+    """The reference RNAFolding folds each string independently (no fixed
+    length); mixed-length queries must work (reference rna.py:15-27)."""
+    from flexs_tpu.landscapes.rna import RNAFolding
+
+    land = RNAFolding()
+    seqs = ["GGGGAAAACCCC", "GGGGGAAAACCCCC", "GGGGAAAACCCC"]
+    fit = land.get_fitness(seqs)
+    assert fit.shape == (3,)
+    assert fit[0] == fit[2]  # same sequence scores the same
+    # Each equals its own single-sequence score (grouping is transparent).
+    np.testing.assert_allclose(fit[1], land.get_fitness([seqs[1]])[0])
+
+
+def test_pallas_guard_small_maxloop():
+    """maxloop < 3 must raise cleanly, not crash inside kernel tracing."""
+    import pytest
+
+    from flexs_tpu.ops.pallas_duplex import duplex_energy_batch_pallas
+    from flexs_tpu.ops.rna_duplex import DuplexParams
+
+    seqs = np.zeros((4, 12), np.int32)
+    target = np.zeros((12,), np.int32)
+    with pytest.raises(ValueError, match="maxloop >= 3"):
+        duplex_energy_batch_pallas(seqs, target, DuplexParams(maxloop=2))
