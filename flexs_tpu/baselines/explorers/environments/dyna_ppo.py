@@ -16,7 +16,10 @@ Parity contract (reference explorers/environments/dyna_ppo.py):
     densities are computed in ONE Hamming-distance matmul on device (for
     the fixed-length sequences of every FLEXS problem, substitution-only
     distance == Hamming in the <= 2 radius except for rare coincidental
-    shifts — see flexs_tpu.ops.hamming).
+    shifts — see flexs_tpu.ops.hamming).  Deviation (documented, shared
+    with the fused runner): densities are computed BEFORE the batch joins
+    the cache, so same-batch neighbors do not penalize each other; the
+    reference updates all_seqs first (:142-163 upstream) and they do.
   * `DynaPPOEnvironmentMutative`: single-sequence mutation walk with the
     density-augmented reward and gt/model switch (:166-336).
 """

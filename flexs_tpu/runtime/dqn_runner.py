@@ -166,6 +166,10 @@ def run_dqn_nam(
                 aux_rows=(pk, value[None], signal[None]),
             )
         )
+        # Cached queries get their EXISTING row (masked appends park at
+        # the trash row) so the end-of-round truth write-back lands on
+        # the real slot — same correction as jit_runner.nam_query.
+        pos = jnp.where(cached, nearest.astype(jnp.int32), pos[0])
         model_cost = model_cost + 1
         if not cfg.perfect_model and cfg.surrogate is None:
             landscape_cost = landscape_cost + 2 * insert.astype(jnp.int32)
@@ -173,7 +177,7 @@ def run_dqn_nam(
             (cache_tokens, cache_pk, cache_vals, cache_truth, n_cache),
             (model_cost, landscape_cost),
             value,
-            pos[0],
+            pos,
         )
 
     def train_burst(q_params, mem, mem_n, key):
@@ -232,7 +236,7 @@ def run_dqn_nam(
             mem_ptr,
             mem_n,
             q_params,
-            best_fitness,
+            walk,
             model_cost,
             landscape_cost,
             surr_state,
@@ -256,7 +260,9 @@ def run_dqn_nam(
         n_gen = jnp.int32(0)
 
         meas_pk = pack(measured_tokens)
-        walk = start_tokens  # reference resets data structures per reset only
+        # `walk` persists ACROSS rounds (reference dqn.py:283-285: data
+        # structures are only initialized when num_actions == 0, i.e.
+        # round 1; later rounds continue the walk where it stopped).
 
         def step_cond(state):
             costs = state[5]
@@ -270,7 +276,6 @@ def run_dqn_nam(
                 mem_state,
                 q_params,
                 costs,
-                best_fitness,
                 key,
             ) = state
             gen_tokens, gen_preds, gen_pk, gen_cache_pos, n_gen = gen_state
@@ -287,7 +292,11 @@ def run_dqn_nam(
 
             key, k_eps, k_rand, k_uni, k_nam = jax.random.split(key, 5)
             nonzero = moves != 0
-            any_move = jnp.any(nonzero)
+            # Reference gate is moves.sum() > 0 (dqn.py:201): with all-
+            # negative Q values over unmasked moves the reference takes
+            # the uniform fallback — any(moves != 0) would instead go
+            # greedy and argmax could land on a masked stay-in-place 0.
+            any_move = jnp.sum(moves) > 0
             # Random nonzero move (uniform over nonzero entries).
             rand_logits = jnp.where(nonzero, 0.0, -jnp.inf).reshape(-1)
             rand_flat = jax.random.categorical(k_rand, rand_logits)
@@ -314,7 +323,15 @@ def run_dqn_nam(
                 new_pk, gen_pk, bits, per_word
             )[0]
             gen_d = jnp.where(jnp.arange(gen_cap) < n_gen, gen_d, 10**6)
+            # Memory stores gate on novelty vs measured AND previously-
+            # walked (reference pick_action's all_measured_seqs, which
+            # the propose loop grows with every walked sequence).
             novel = (jnp.min(meas_d) > 0) & (jnp.min(gen_d) > 0)
+            # The proposal dict records EVERY walked sequence (reference
+            # dqn.py:291 sequences[seq] = pred, unconditional) — only
+            # in-pool duplicates are skipped (dict key upsert; NAM/
+            # perfect values are cached so re-writes are value no-ops).
+            fresh_in_gen = jnp.min(gen_d) > 0
 
             # Store the transition at max priority when novel.
             def store(args):
@@ -336,19 +353,16 @@ def run_dqn_nam(
                 novel, store, lambda a: a, (mem, mem_ptr, mem_n)
             )
 
-            # Record the proposal (novel sequences only, like the host dict).
             gen_tokens, _, n_gen, (gen_preds, gen_pk, gen_cache_pos) = (
                 _masked_append(
                     gen_tokens,
                     new_walk[None],
                     n_gen,
-                    novel[None],
+                    fresh_in_gen[None],
                     aux_bufs=(gen_preds, gen_pk, gen_cache_pos),
                     aux_rows=(reward[None], new_pk, cpos[None].astype(jnp.int32)),
                 )
             )
-
-            best_fitness = jnp.maximum(best_fitness, jnp.where(novel, reward, -jnp.inf))
 
             # Train when cost crosses a batch boundary and memory suffices.
             model_cost = costs[0]
@@ -372,7 +386,6 @@ def run_dqn_nam(
                 (mem, mem_ptr, mem_n),
                 q_params,
                 costs,
-                best_fitness,
                 key,
             )
 
@@ -383,7 +396,6 @@ def run_dqn_nam(
             (mem, mem_ptr, mem_n),
             q_params,
             costs,
-            best_fitness,
             key,
         ) = jax.lax.while_loop(
             step_cond,
@@ -395,7 +407,6 @@ def run_dqn_nam(
                 (mem, mem_ptr, mem_n),
                 q_params,
                 (model_cost, landscape_cost),
-                best_fitness,
                 key,
             ),
         )
@@ -433,7 +444,7 @@ def run_dqn_nam(
             mem_ptr,
             mem_n,
             q_params,
-            best_fitness,
+            walk,
             model_cost,
             landscape_cost,
             surr_state,
@@ -457,7 +468,7 @@ def run_dqn_nam(
         mem_ptr,
         mem_n,
         q_params,
-        jnp.float32(0.0),
+        start_tokens,
         jnp.int32(0),
         jnp.int32(1),
         surr0,

@@ -20,7 +20,10 @@ Structure per round (reference dyna_ppo.py:250-307):
   * reward = fitness - 0.1 * density, density = sum of fitness/d over all
     previously seen sequences within Hamming distance 2 (the env's
     sequence-density cache, environments/dyna_ppo.py:33-67), computed
-    BEFORE the batch joins the cache;
+    BEFORE the batch joins the cache — a documented deviation shared with
+    the host port: the reference updates all_seqs first (environments/
+    dyna_ppo.py:142-163 upstream), so same-batch neighbors penalize each
+    other there and not here;
   * proposals: top `sequences_batch_size` recorded model-phase sequences
     by recorded fitness, novel vs measured.
 
@@ -512,6 +515,19 @@ def run_dyna_ppo_nam(
             measured_tokens, proposals, n_measured, valid,
             aux_bufs=(measured_truth,), aux_rows=(truth,),
         )
+
+        # NAM train semantics: the next round's model must return TRUTH
+        # for measured sequences (reference noisy_abstract_model.py:62-67;
+        # the family invariant in jit_runner.py) — overwrite each
+        # proposal's cache row.
+        c_tokens, c_pk, c_vals, c_truth, c_n = cache
+        pd_ = _dists_to_cache(pack(proposals), c_pk, c_n, bits, per_word)
+        at = jnp.argmin(pd_, axis=1).astype(jnp.int32)
+        hit = (jnp.min(pd_, axis=1) == 0) & valid
+        c_vals = c_vals.at[jnp.where(hit, at, cache_cap - 1)].set(
+            jnp.where(hit, truth, c_vals[cache_cap - 1])
+        )
+        cache = (c_tokens, c_pk, c_vals, c_truth, c_n)
 
         out = (proposals, top_vals, truth, valid, model_cost, landscape_cost)
         return (

@@ -372,7 +372,12 @@ def run_ppo_nam(
                     aux_rows=(final_pk, fitness[None]),
                 )
                 top = jnp.max(rec_fit, initial=-jnp.inf, where=jnp.arange(rec_cap) < n_rec)
-                in_pool = (jnp.arange(rec_cap) < n_rec) & (rec_fit >= 0.9 * top)
+                live = jnp.arange(rec_cap) < n_rec
+                in_pool = live & (rec_fit >= 0.9 * top)
+                # 0.9*top > top when top < 0 empties the pool; the
+                # reference then falls back to a uniform choice over ALL
+                # recorded sequences (reference ppo.py:108-113).
+                in_pool = jnp.where(jnp.any(in_pool), in_pool, live)
                 key, k_choice = jax.random.split(key)
                 pick = jax.random.categorical(
                     k_choice, jnp.where(in_pool, 0.0, -jnp.inf)
@@ -524,6 +529,19 @@ def run_ppo_nam(
             aux_bufs=(measured_truth,),
             aux_rows=(truth,),
         )
+
+        # NAM train semantics: the next round's model must return TRUTH
+        # for measured sequences (reference noisy_abstract_model.py:62-67;
+        # the family invariant in jit_runner.py) — overwrite each
+        # proposal's cache row.
+        c_tokens, c_pk, c_vals, c_truth, c_n = cache
+        pd_ = _dists_to_cache(pack(proposals), c_pk, c_n, bits, per_word)
+        at = jnp.argmin(pd_, axis=1).astype(jnp.int32)
+        hit = (jnp.min(pd_, axis=1) == 0) & valid_prop
+        c_vals = c_vals.at[jnp.where(hit, at, cache_cap - 1)].set(
+            jnp.where(hit, truth, c_vals[cache_cap - 1])
+        )
+        cache = (c_tokens, c_pk, c_vals, c_truth, c_n)
 
         out = (proposals, top_vals, truth, valid_prop, model_cost, landscape_cost)
         return (

@@ -31,9 +31,14 @@ def _run(landscape, **kw):
 def test_schema_and_rounds(landscape):
     df, meta = _run(landscape)
     assert df["round"].max() == 2
-    assert df["sequence"].is_unique  # proposals are novelty-filtered
     for r in range(1, 3):
-        assert 0 < len(df[df["round"] == r]) <= 5
+        sub = df[df["round"] == r]
+        assert 0 < len(sub) <= 5
+        # The per-round proposal pool is a dict (unique keys); ACROSS
+        # rounds re-proposals are allowed, exactly like the reference
+        # (dqn.py:291 records every walked sequence unconditionally and
+        # the top-B is not filtered against the measured set).
+        assert sub["sequence"].is_unique
     assert meta["exp_name"] == "DeviceDQN_Explorer"
 
 
