@@ -433,6 +433,10 @@ class DeviceBONAM:
         """
         if model not in ("nam", "perfect", "surrogate"):
             raise ValueError("model must be 'nam', 'perfect' or 'surrogate'")
+        if method not in ("EI", "UCB"):
+            # Evo-BO supports the reference's two acquisitions
+            # (bo.py:125-133); Thompson/Greedy belong to GPR_BO.
+            raise ValueError(f"method must be 'EI' or 'UCB', got {method!r}")
         if model == "surrogate" and surrogate_spec is None:
             surrogate_spec = surrogate_lib.SurrogateSpec(ensemble_size=3)
         self.landscape = landscape

@@ -227,6 +227,16 @@ def train(
         # same math as JaxGaussianProcessRegressor, here inside the fused
         # program so the state rides the lax.scan round carry).
         valid = (jnp.arange(tokens.shape[0]) < n_rows) & jnp.isfinite(truth)
+        # Duplicate measured rows (runners like BO/CMA-ES may re-propose
+        # an already-measured sequence) make the kernel matrix exactly
+        # singular — the f32 Cholesky (jitter 1e-8, below f32 eps at
+        # kernel amplitude ~1) returns all-NaN and silently kills every
+        # later round.  A duplicate row carries no information, so keep
+        # only each sequence's FIRST occurrence.
+        eq = jnp.all(tokens[:, None, :] == tokens[None, :, :], axis=-1)
+        earlier = jnp.tril(jnp.ones_like(eq, dtype=bool), k=-1)
+        dup = jnp.any(eq & earlier & valid[None, :], axis=1)
+        valid = valid & ~dup
         theta, dual, chol = gp_fit(tokens, truth, valid, spec.gp_opt_steps)
         return state._replace(
             params={

@@ -470,3 +470,58 @@ def test_surrogate_sweep_cmaes(landscape):
     )
     assert len(df) == 1
     assert (df["max_fitness"] >= df["start_fitness"]).all()
+
+
+def test_gp_arch_survives_duplicate_measured_rows():
+    """Duplicate measured rows must not NaN-poison the exact GP.
+
+    BO/CMA-ES runners can re-propose an already-measured sequence, so the
+    measured buffer can hold identical token rows; the f32 Cholesky of an
+    exactly singular kernel returns all-NaN without the first-occurrence
+    dedup in surrogate.train's gp branch.
+    """
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    L, A, cap = 8, 4, 32
+    tokens_np = rng.integers(0, A, size=(cap, L)).astype(np.int32)
+    tokens_np[5] = tokens_np[2]  # exact duplicate pair
+    tokens_np[9] = tokens_np[2]  # triple
+    y = rng.normal(size=cap).astype(np.float32)
+    y[5] = y[2]
+    y[9] = y[2]
+    truth = jnp.where(jnp.arange(cap) < 16, jnp.asarray(y), -np.inf)
+
+    spec = surrogate.SurrogateSpec(arch="gp", gp_opt_steps=10)
+    state = surrogate.init_state(spec, A, L, jax.random.PRNGKey(0), capacity=cap)
+    state = surrogate.train(
+        spec, A, state, jnp.asarray(tokens_np), truth, 16, jax.random.PRNGKey(1)
+    )
+    mu, sig = surrogate.posterior(spec, A, state, jnp.asarray(tokens_np[:16]))
+    assert np.isfinite(np.asarray(mu)).all()
+    assert np.isfinite(np.asarray(sig)).all()
+    # The duplicated sequence's posterior mean still interpolates its label.
+    np.testing.assert_allclose(np.asarray(mu)[2], y[2], atol=0.1)
+
+
+def test_bo_gp_ucb_multi_round(landscape):
+    """gp-UCB BO (which walks back to measured points) stays finite and
+    proposes in EVERY round — the duplicate-row NaN regression."""
+    from flexs_tpu.runtime.bo_runner import DeviceBONAM
+
+    explorer = DeviceBONAM(
+        landscape,
+        "TGCA",
+        rounds=4,
+        sequences_batch_size=5,
+        model_queries_per_batch=40,
+        starting_sequence=tf_binding.STARTS[0],
+        num_chains=4,
+        method="UCB",
+        model="surrogate",
+        surrogate_spec=surrogate.SurrogateSpec(arch="gp", gp_opt_steps=10),
+    )
+    df, _ = explorer.run(verbose=False)
+    for r in range(1, 5):
+        assert len(df[df["round"] == r]) > 0, f"round {r} proposed nothing"
+    assert np.isfinite(df["true_score"].to_numpy()[1:]).all()
