@@ -289,6 +289,15 @@ class BO(Explorer):
         preds = np.asarray(self.model.get_fitness(sample_seqs)).mean(axis=1)
         self.train_models()
 
+        # The lockstep-chain redesign visits chains*ceil(B/chains) states,
+        # which overshoots B when num_chains does not divide it (the
+        # reference's single-chain walk has no such structural overshoot);
+        # return the top B by predicted fitness so the advertised batch
+        # contract holds.
+        if len(sample_seqs) > self.sequences_batch_size:
+            order = np.argsort(preds)[::-1][: self.sequences_batch_size]
+            sample_seqs = [sample_seqs[i] for i in order]
+            preds = preds[order]
         return sample_seqs, preds
 
 
@@ -377,14 +386,20 @@ class GPR_BO(Explorer):
             else:
                 mus[i : i + m] = preds
 
+        # Probe the token fast path with the FIRST real chunk (a separate
+        # (1, L)-shaped probe would pay its own XLA compile and a wasted
+        # relay dispatch — CLAUDE.md per-dispatch costs).
         try:
-            self.model.fitness_from_tokens(tokens[:1])
+            first = np.asarray(
+                self.model.fitness_from_tokens(tokens[: self.eval_batch_size])
+            )
             token_path = True
         except NotImplementedError:
             token_path = False
 
         if token_path:
-            for i in range(0, n, self.eval_batch_size):
+            fill(0, first)
+            for i in range(self.eval_batch_size, n, self.eval_batch_size):
                 fill(
                     i,
                     np.asarray(
@@ -394,40 +409,41 @@ class GPR_BO(Explorer):
                     ),
                 )
             self.model.add_cost(n)
-        else:
-            seqs_all = self.alphabet.decode(tokens)
-            for i in range(0, n, self.eval_batch_size):
-                fill(
-                    i,
-                    np.asarray(
-                        self.model.get_fitness(seqs_all[i : i + self.eval_batch_size])
-                    ),
-                )
-            return seqs_all, mus, sigmas
-        return self.alphabet.decode(tokens), mus, sigmas
+            # No full-space string decode on the token path: the consumer
+            # decodes only the handful of top-ranked candidates it visits.
+            return None, tokens, mus, sigmas
+        seqs_all = self.alphabet.decode(tokens)
+        for i in range(0, n, self.eval_batch_size):
+            fill(
+                i,
+                np.asarray(
+                    self.model.get_fitness(seqs_all[i : i + self.eval_batch_size])
+                ),
+            )
+        return seqs_all, tokens, mus, sigmas
 
+    # Each proposal method returns (scores over the space, seqs-or-None,
+    # tokens) as ARRAYS — the space can be millions of points, so no
+    # per-point Python pairs are ever built; the consumer argsorts once
+    # and visits only the top slice it needs.
     def propose_sequences_via_thompson(self):
         """Rank by a Gaussian posterior sample."""
         print("Enumerating all sequences in the space.")
-        seqs, mus, sigmas = self._posterior_over_space()
+        seqs, tokens, mus, sigmas = self._posterior_over_space()
         scores = self._rng.normal(mus, np.maximum(sigmas, 1e-12))
-        order = np.argsort(scores)[::-1]
-        return [[scores[i], seqs[i]] for i in order]
+        return scores, seqs, tokens
 
     def propose_sequences_via_greedy(self):
         """Rank by the posterior mean."""
         print("Enumerating all sequences in the space.")
-        seqs, mus, _ = self._posterior_over_space()
-        order = np.argsort(mus)[::-1]
-        return [[mus[i], seqs[i]] for i in order]
+        seqs, tokens, mus, _ = self._posterior_over_space()
+        return mus, seqs, tokens
 
     def propose_sequences_via_ucb(self):
         """Rank by mu + 0.01 sigma."""
         print("Enumerating all sequences in the space.")
-        seqs, mus, sigmas = self._posterior_over_space()
-        scores = mus + 0.01 * sigmas
-        order = np.argsort(scores)[::-1]
-        return [[scores[i], seqs[i]] for i in order]
+        seqs, tokens, mus, sigmas = self._posterior_over_space()
+        return mus + 0.01 * sigmas, seqs, tokens
 
     def propose_sequences(
         self, measured_sequences: pd.DataFrame
@@ -438,13 +454,20 @@ class GPR_BO(Explorer):
             "Thompson": self.propose_sequences_via_thompson,
             "UCB": self.propose_sequences_via_ucb,
         }
-        new_seqs = seq_proposal_funcs[self.seq_proposal_method]()
+        scores, seqs, tokens = seq_proposal_funcs[self.seq_proposal_method]()
+        order = np.argsort(scores)[::-1]
         all_measured_seqs = set(measured_sequences["sequence"].values)
 
         new_states, new_fitnesses = [], []
-        i = 0
-        while len(new_states) < self.sequences_batch_size and i < len(new_seqs):
-            new_fitness, new_seq = new_seqs[i]
+        for i in order:
+            if len(new_states) >= self.sequences_batch_size:
+                break
+            new_fitness = float(scores[i])
+            new_seq = (
+                seqs[i]
+                if seqs is not None
+                else self.alphabet.decode(tokens[i : i + 1])[0]
+            )
             if new_seq not in all_measured_seqs:
                 if new_fitness >= self.best_fitness:
                     self.top_sequence.append(
@@ -454,7 +477,6 @@ class GPR_BO(Explorer):
                 all_measured_seqs.add(new_seq)
                 new_states.append(new_seq)
                 new_fitnesses.append(new_fitness)
-            i += 1
 
         print("Current best fitness:", self.best_fitness)
         return new_states, np.array(new_fitnesses)

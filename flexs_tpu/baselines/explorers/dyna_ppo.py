@@ -323,10 +323,11 @@ class DynaPPO(Explorer):
                 self._collect_episode_batch(traj, sequences)
             self._train_on(traj)
 
+        measured = set(measured_sequences_data["sequence"])
         sequences = {
             seq: fitness
             for seq, fitness in sequences.items()
-            if seq not in set(measured_sequences_data["sequence"])
+            if seq not in measured
         }
         new_seqs = np.array(list(sequences.keys()))
         preds = np.array(list(sequences.values()))
@@ -477,13 +478,20 @@ class DynaPPOMutative(Explorer):
                 )
             self._train_on(traj)
 
+        measured = set(measured_sequences_data["sequence"])
         sequences = {
             seq: fitness
             for seq, fitness in sequences.items()
-            if seq not in set(measured_sequences_data["sequence"])
+            if seq not in measured
         }
         new_seqs = np.array(list(sequences.keys()))
         preds = np.array(list(sequences.values()))
+        # Documented deviation from the reference slice (dyna_ppo.py:
+        # 520-522 upstream, argsort[:-(B - budget):-1]): that idiom yields
+        # B - budget - 1 proposals (one fewer than the budget split
+        # implies) and degenerates to nearly the WHOLE pool when
+        # budget >= B (a[:-0:-1] == a[:0:-1]); here the count is exactly
+        # B - budget, floored at 1.
         k = max(1, self.sequences_batch_size - experiment_budget)
         sorted_order = np.argsort(preds)[: -k - 1 : -1]
 

@@ -150,11 +150,16 @@ def test_gpr_bo_token_path_matches_string_path():
                 self, self.alpha.encode(list(sequences))
             )
 
-    ranked_str = make(StringOnly()).propose_sequences_via_greedy()
-    assert [s for _, s in ranked[:16]] == [s for _, s in ranked_str[:16]]
-    np.testing.assert_allclose(
-        [v for v, _ in ranked], [v for v, _ in ranked_str]
-    )
+    scores_str, seqs_str, tokens_str = make(
+        StringOnly()
+    ).propose_sequences_via_greedy()
+    scores, seqs, tokens = ranked
+    # Token path skips the full-space decode (seqs is None); both paths
+    # agree on scores and on the token ordering.
+    assert seqs is None and seqs_str is not None
+    np.testing.assert_allclose(scores, scores_str)
+    order, order_str = np.argsort(scores)[::-1], np.argsort(scores_str)[::-1]
+    np.testing.assert_array_equal(tokens[order[:16]], tokens_str[order_str[:16]])
 
 
 def test_ensemble_fitness_from_tokens_matches_strings():
@@ -198,6 +203,12 @@ def test_gpr_bo_greedy_ranks_by_mean():
         seq_proposal_method="Greedy",
         seed=0,
     )
-    ranked = explorer.propose_sequences_via_greedy()
-    assert ranked[0][1] == "TTTT"
-    assert ranked[0][0] == 1.0
+    scores, seqs, tokens = explorer.propose_sequences_via_greedy()
+    best = int(np.argmax(scores))
+    best_seq = (
+        seqs[best]
+        if seqs is not None
+        else explorer.alphabet.decode(tokens[best : best + 1])[0]
+    )
+    assert best_seq == "TTTT"
+    assert scores[best] == 1.0
