@@ -12,7 +12,10 @@ Parity contract (reference baselines/explorers/cbas_dbas.py):
     weights = exp(logp_vae0 - logp_vaet) for CbAS (:167-175) or 1 for DbAS
     (:177-179); zero weights below gamma (:181); retrain the VAE on the
     growing weighted pool (:183-192).
-  * Returns top `sequences_batch_size` generated sequences by model score.
+  * Returns the top generated sequences by model score via the
+    reference's `argsort(preds)[:-B:-1]` idiom (:199), which yields B-1
+    proposals (and zero when B == 1) — a preserved reference quirk; the
+    fused runner proposes exactly B (see runtime/jit_runner.py).
 """
 from typing import Optional, Tuple
 

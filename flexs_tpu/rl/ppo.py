@@ -89,11 +89,21 @@ class PPOAgent:
 
     # -- observation normalization -------------------------------------------
     def _update_obs_stats(self, obs: np.ndarray):
-        for row in np.asarray(obs, np.float64):
-            self._obs_count += 1
-            delta = row - self._obs_mean
-            self._obs_mean += delta / self._obs_count
-            self._obs_m2 += delta * (row - self._obs_mean)
+        # Chan's parallel Welford combine: one vectorized batch update,
+        # numerically identical to the row-at-a-time recursion (which
+        # cost thousands of Python-level iterations per train call).
+        obs = np.asarray(obs, np.float64)
+        n_b = obs.shape[0]
+        if n_b == 0:
+            return
+        mean_b = obs.mean(axis=0)
+        m2_b = ((obs - mean_b) ** 2).sum(axis=0)
+        n_a = self._obs_count
+        total = n_a + n_b
+        delta = mean_b - self._obs_mean
+        self._obs_mean = self._obs_mean + delta * (n_b / total)
+        self._obs_m2 = self._obs_m2 + m2_b + delta**2 * (n_a * n_b / total)
+        self._obs_count = total
 
     def _normalize(self, obs):
         if not self.normalize_observations:
@@ -158,9 +168,13 @@ class PPOAgent:
             clipped = jnp.clip(ratio, 1 - self.clip_eps, 1 + self.clip_eps)
             policy_loss = -jnp.mean(jnp.minimum(ratio * adv, clipped * adv))
             value_loss = jnp.mean(jnp.square(values - returns))
-            probs = jnp.exp(logps)
+            # Sanitize BEFORE multiplying: probs * logps is 0 * -inf =
+            # NaN at masked entries, and a NaN in the untaken where-branch
+            # still poisons the log_softmax VJP (NaN grads on the first
+            # update with any False mask).
+            safe_logps = jnp.where(masks, logps, 0.0)
             entropy = -jnp.mean(
-                jnp.sum(jnp.where(masks, probs * logps, 0.0), axis=1)
+                jnp.sum(jnp.exp(safe_logps) * safe_logps * masks, axis=1)
             )
             return (
                 policy_loss
@@ -185,8 +199,12 @@ class PPOAgent:
         )
         adv = (adv - adv.mean()) / (adv.std() + 1e-8)
 
-        self._update_obs_stats(batch["obs"])
+        # Normalize with the stats in effect at COLLECTION time (act()
+        # used them for old_logprobs/values), so the PPO ratio is exactly
+        # 1 at epoch 0; fold this batch into the stats afterwards for
+        # the next collection phase.
         obs = jnp.asarray(self._normalize(np.asarray(batch["obs"])), jnp.float32)
+        self._update_obs_stats(batch["obs"])
         actions = jnp.asarray(batch["actions"], jnp.int32)
         old_logprobs = jnp.asarray(batch["logprobs"], jnp.float32)
         masks = batch.get("masks")

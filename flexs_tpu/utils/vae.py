@@ -226,8 +226,18 @@ class VAE:
 
         bucket = next_bucket(n_train, minimum=self.batch_size)
         bucket = ((bucket + self.batch_size - 1) // self.batch_size) * self.batch_size
-        x = jnp.asarray(pad_rows(x, bucket))
-        w = jnp.asarray(pad_rows(w, bucket))
+        # Pad by REPEATING real rows at weight 0 (not zero rows): padding
+        # is shuffled into every minibatch, so all-zero one-hots would
+        # pollute the BatchNorm batch statistics and running averages
+        # that calculate_log_probability later uses.  Repeats carry real
+        # activation statistics and contribute no gradient.
+        pad = bucket - n_train
+        if pad:
+            pidx = np.arange(pad) % n_train
+            x = np.concatenate([x, x[pidx]])
+            w = np.concatenate([w, np.zeros(pad, np.float32)])
+        x = jnp.asarray(x)
+        w = jnp.asarray(w)
 
         best_loss, patience = np.inf, 0
         for _ in range(self.epochs):
@@ -277,6 +287,9 @@ class VAE:
             cum = np.cumsum(weights.T, axis=1)  # [L, A]
             u = self._rng.random((need, self.seq_length, 1))
             tokens = (u > cum[None, :, :]).sum(axis=2).astype(np.int32)
+            # cumsum can end at 1 - O(1e-15); a draw in that gap would
+            # emit token == len(alphabet) and index out of the alphabet.
+            tokens = np.minimum(tokens, len(self.alphabet) - 1)
             batch = self.alphabet.decode(tokens)
             rejections = 0
             for s in batch:
@@ -285,14 +298,21 @@ class VAE:
                     proposals.append(s)
                 else:
                     rejections += 1
-            # Reference escalates temperature 1.3x per rejected draw.
+            # Reference escalates temperature 1.3x per rejected draw —
+            # but it draws ONE AT A TIME, so escalation stops as soon as
+            # the warmer PWM starts yielding novel draws.  A whole batch
+            # drawn at one (possibly argmax-collapsed) temperature can
+            # reject ~everything at once, and 1.3**99 ~ 2e8 would blow
+            # straight past the diversification point into uniform
+            # sampling; cap the per-batch exponent (documented deviation:
+            # batched escalation, bounded per batch, unbounded overall).
             if rejections:
-                temperature *= 1.3**rejections
-        else:
+                temperature *= 1.3 ** min(rejections, 20)
+
+        if len(proposals) < n_samples:
             raise RuntimeError(
                 f"VAE.generate could not find {n_samples} novel sequences"
             )
-
         return proposals[:n_samples]
 
     # -- scoring ------------------------------------------------------------
@@ -310,6 +330,13 @@ class VAE:
 
         `vae` may be a variables snapshot (the CbAS vae_0) or None for the
         current weights.
+
+        Documented deviation: reconstruction decodes the DETERMINISTIC
+        z_mean, where the reference's `vae.predict` routes through the
+        stochastic Sampling layer (VAE_utils.py:189-217 upstream) — one
+        z ~ N(z_mean, z_sd) per call.  The deterministic form makes CbAS
+        importance weights reproducible; it is the mode of the
+        reference's noisy estimate.
         """
         variables = vae if vae is not None else self.variables
         x = self._one_hot(sequences)
