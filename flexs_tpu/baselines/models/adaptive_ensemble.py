@@ -10,13 +10,13 @@ Parity contract (reference baselines/models/adaptive_ensemble.py):
   * `_fitness_function` (:97-102): `combine_with(weights, scores)` over the
     (num_seqs, num_models) score matrix; default weighted sum.
 
-TPU note: Pearson r^2 over the holdout is computed on device in one fused
-reduction (`_pearson_r2`) rather than a per-model scipy loop.
+TPU note: Pearson r^2 over the holdout is one vectorized HOST reduction —
+the matrix is tiny ([members, ~0.2*n]) and its size changes every round,
+so a jitted version would recompile per round and pay two relay uploads
+per call for microseconds of math.
 """
 from typing import List
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from flexs_tpu.landscape import Landscape
@@ -24,21 +24,20 @@ from flexs_tpu.model import Model
 from flexs_tpu.types import SEQUENCES_TYPE
 
 
-@jax.jit
 def _pearson_r2(preds, labels):
     """Per-row Pearson r^2 of preds [M, N] against labels [N]."""
     pc = preds - preds.mean(axis=1, keepdims=True)
     lc = labels - labels.mean()
-    cov = jnp.sum(pc * lc[None, :], axis=1)
-    denom = jnp.sqrt(jnp.sum(pc * pc, axis=1) * jnp.sum(lc * lc)) + 1e-12
+    cov = np.sum(pc * lc[None, :], axis=1)
+    denom = np.sqrt(np.sum(pc * pc, axis=1) * np.sum(lc * lc)) + 1e-12
     r = cov / denom
     return r * r
 
 
 def r2_weights(model_preds: np.ndarray, labels: np.ndarray) -> np.ndarray:
     """Normalized Pearson r^2 scores for a (num_models, num_samples) matrix."""
-    r2s = np.asarray(
-        _pearson_r2(jnp.asarray(model_preds, jnp.float32), jnp.asarray(labels, jnp.float32))
+    r2s = _pearson_r2(
+        np.asarray(model_preds, np.float64), np.asarray(labels, np.float64)
     )
     return r2s / r2s.sum()
 

@@ -135,7 +135,12 @@ class NoisyAbstractModel(Model):
         if self._length is not None:
             tokens = self._tokenize(sequences).reshape(len(sequences), self._length)
             n = len(self._cache_seqs)
-            needed = n + len(tokens)
+            # Capacity must fit the BUCKETED insert block: the scatter
+            # writes next_bucket(len) rows at row n, and a too-small
+            # buffer makes dynamic_update_slice CLAMP the start index —
+            # silently overwriting earlier cache rows and misaligning
+            # every row index after it.
+            needed = n + next_bucket(len(tokens), minimum=64)
             if needed > self._capacity:
                 new_cap = next_bucket(needed, minimum=4096)
                 old = (
@@ -212,14 +217,18 @@ class NoisyAbstractModel(Model):
             mins = np.asarray(mins)[: len(sequences)]
             idx = np.asarray(idx)[: len(sequences)]
         else:
-            if self._mixed_rows is None:
-                self._to_mixed_mode()
-            width = self._mixed_rows.shape[1]
-            qwidth = max(width, max(len(s) for s in sequences))
+            # Off-length QUERIES take a local exact-DP path against a
+            # temporary matrix view — they must NOT demote the uniform
+            # device cache (one stray probe would otherwise permanently
+            # force the O(B*N*L^2) host path for the rest of the run).
+            if self._mixed_rows is not None:
+                c = self._mixed_rows
+            else:
+                c = np.asarray(self._dev_cache)[: len(self._cache_seqs)]
+            qwidth = max(c.shape[1], max(len(s) for s in sequences))
             q = np.full((len(sequences), qwidth), -1, dtype=np.int32)
             for i, s in enumerate(sequences):
                 q[i, : len(s)] = self._tokenize([s])
-            c = self._mixed_rows
             if c.shape[1] < qwidth:
                 pad = np.full((c.shape[0], qwidth - c.shape[1]), -1, np.int32)
                 c = np.concatenate([c, pad], axis=1)

@@ -175,7 +175,19 @@ class AdditiveAAVPackaging(Landscape):
         return self._jit_fitness(self._fitness_params, jnp.asarray(tokens))
 
     def device_fitness(self):
-        """(pure fitness fn, params) pair for fused device runners."""
+        """(pure fitness fn, params) pair for fused device runners.
+
+        Only valid for noiseless landscapes: the device path scores the
+        deterministic additive model, and silently dropping the Gaussian
+        `noise` would make fused runs measure a DIFFERENT landscape than
+        the host explorer baseline.
+        """
+        if self.noise:
+            raise ValueError(
+                "device_fitness() is noiseless; construct "
+                "AdditiveAAVPackaging(noise=0) for fused runs or use the "
+                "host get_fitness path"
+            )
         return _aav_fitness, self._fitness_params
 
     def _get_raw_fitness(self, seq: str) -> float:
@@ -187,6 +199,8 @@ class AdditiveAAVPackaging(Landscape):
 
     def _fitness_function(self, sequences: SEQUENCES_TYPE) -> np.ndarray:
         seqs = list(sequences)
+        if not seqs:  # reference returns an empty array for an empty batch
+            return np.array([])
         tokens = _AA.encode(seqs)
         n = len(tokens)
         bucket = next_bucket(n, minimum=64)

@@ -205,6 +205,8 @@ class RosettaFolding(Landscape):
 
     def _fitness_function(self, sequences: SEQUENCES_TYPE) -> np.ndarray:
         seqs = list(sequences)
+        if not seqs:  # reference returns an empty result for an empty batch
+            return np.array([])
         for s in seqs:
             if len(s) != len(self.wt_sequence):
                 raise ValueError(
