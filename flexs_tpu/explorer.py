@@ -42,6 +42,21 @@ except ImportError:  # pragma: no cover
     _trange = range
 
 
+def write_run_log(path: str, metadata: Dict, sequences_data: pd.DataFrame) -> None:
+    """One JSON metadata line + the full CSV (reference explorer.py:100-107).
+
+    THE run-log format of record, shared by `Explorer._log` and the fused
+    device runners (runtime/jit_runner.py) so the two can never drift.
+    """
+    dir_path, _ = os.path.split(path)
+    if dir_path:
+        os.makedirs(dir_path, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(metadata, f)
+        f.write("\n")
+        sequences_data.to_csv(f, index=False)
+
+
 class Explorer(abc.ABC):
     """Abstract base explorer.
 
@@ -113,10 +128,7 @@ class Explorer(abc.ABC):
         round_start_time: float,
     ) -> None:
         if self.log_file is not None:
-            with open(self.log_file, "w") as f:
-                json.dump(metadata, f)
-                f.write("\n")
-                sequences_data.to_csv(f, index=False)
+            write_run_log(self.log_file, metadata, sequences_data)
 
         if verbose:
             print(
