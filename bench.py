@@ -168,14 +168,20 @@ def run_rna_oracle(batch: int = 512, l1: int = 100, reps: int = 20):
     return batch / med, [round(batch / s, 1) for s in (spread[1], spread[0])], bitexact
 
 
-def _preflight(timeout_s: float = 180.0) -> bool:
+def _preflight(timeout_s: float = 150.0, attempts: int = 4,
+               retry_wait_s: float = 120.0) -> bool:
     """True iff the backend answers a tiny round-trip within the deadline.
 
     The remote-TPU relay can wedge completely (even `jax.devices()` then
     blocks forever — CLAUDE.md); a daemon-thread probe bounds the hang so
-    a driver bench run fails loudly instead of never returning.
+    a driver bench run fails loudly instead of never returning. Wedges are
+    often transient (observed: down for minutes right after another
+    process released the TPU), so the probe retries a few times — a real
+    outage still fails within ~15 min, but a brief hiccup at bench time
+    no longer records a spurious zero.
     """
     import threading
+    import time as _time
 
     ok = []
 
@@ -185,10 +191,15 @@ def _preflight(timeout_s: float = 180.0) -> bool:
 
         ok.append(float(np.asarray(jnp.ones((8, 8))).sum()))
 
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return bool(ok)
+    for attempt in range(attempts):
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        if ok:
+            return True
+        if attempt < attempts - 1:
+            _time.sleep(retry_wait_s)
+    return False
 
 
 def main():
@@ -200,8 +211,8 @@ def main():
                     "value": 0,
                     "unit": "seqs/sec",
                     "vs_baseline": 0,
-                    "error": "backend preflight timed out after 180s "
-                    "(TPU relay unreachable); no measurement taken",
+                    "error": "backend preflight timed out (4 probes over "
+                    "~15 min; TPU relay unreachable); no measurement taken",
                 }
             )
         )
