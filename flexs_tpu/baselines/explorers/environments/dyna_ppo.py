@@ -13,13 +13,15 @@ Parity contract (reference explorers/environments/dyna_ppo.py):
   * `sequence_density(seq)`: sum of fitness/distance over all previously
     seen sequences within distance 2 (:106-114).  The reference scans the
     cache with per-pair C editdistance calls; here the whole batch's
-    densities are computed in ONE Hamming-distance matmul on device (for
-    the fixed-length sequences of every FLEXS problem, substitution-only
-    distance == Hamming in the <= 2 radius except for rare coincidental
-    shifts — see flexs_tpu.ops.hamming).  Deviation (documented, shared
-    with the fused runner): densities are computed BEFORE the batch joins
-    the cache, so same-batch neighbors do not penalize each other; the
-    reference updates all_seqs first (:142-163 upstream) and they do.
+    densities are computed in ONE banded-Levenshtein DP on device
+    (flexs_tpu.ops.hamming.banded_edit_distance_matrix — exact edit
+    distance up to the radius, saturated beyond it, O(L*(2r+1)) per
+    pair), so shift-by-one neighbors are weighted exactly as the
+    reference's `editdistance.eval` weights them.  Deviation (documented,
+    shared with the fused runner): densities are computed BEFORE the
+    batch joins the cache, so same-batch neighbors do not penalize each
+    other; the reference updates all_seqs first (:142-163 upstream) and
+    they do.
   * `DynaPPOEnvironmentMutative`: single-sequence mutation walk with the
     density-augmented reward and gt/model switch (:166-336).
 """
@@ -30,7 +32,7 @@ import numpy as np
 from flexs_tpu.alphabet import as_alphabet
 from flexs_tpu.landscape import Landscape
 from flexs_tpu.model import Model
-from flexs_tpu.ops.hamming import hamming_distance_matrix
+from flexs_tpu.ops.hamming import banded_edit_distance_matrix
 from flexs_tpu.ops.padding import next_bucket, pad_rows
 
 
@@ -56,11 +58,14 @@ class _SeqDensityCache:
         c = self.alphabet.encode(cache_seqs)
         bucket = next_bucket(len(c), minimum=64)
         qbucket = next_bucket(len(q), minimum=16)
+        # Exact Levenshtein within the radius (reference editdistance.eval
+        # semantics); padded rows are all -1 tokens, which the banded DP
+        # treats as length-0 sequences that land outside the radius.
         dists = np.asarray(
-            hamming_distance_matrix(
-                pad_rows(q, qbucket),
-                pad_rows(c, bucket, fill=0),
-                alphabet_size=len(self.alphabet),
+            banded_edit_distance_matrix(
+                pad_rows(q, qbucket, fill=-1),
+                pad_rows(c, bucket, fill=-1),
+                band=self.dist_radius,
             )
         )[: len(q), : len(c)]
         weights = np.where(

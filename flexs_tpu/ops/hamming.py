@@ -109,3 +109,79 @@ def edit_distance_matrix(queries, cache):
         jax.vmap(_edit_distance_pairwise, in_axes=(None, 0)), in_axes=(0, None)
     )
     return np.asarray(f(queries, cache))
+
+
+@partial(jax.jit, static_argnames=("band",))
+def _banded_edit_distance_pairwise(a, b, band: int = 2):
+    """Levenshtein distance, exact up to `band`, saturated at `band + 1`.
+
+    Ukkonen-style banded Wagner-Fischer: only the 2*band+1 diagonals
+    |i - j| <= band are tracked, so the DP is O(L * (2*band+1)) per pair
+    instead of O(L^2).  Any true distance > band reports exactly band + 1
+    (distances beyond the band cannot re-enter it).  Inputs are int[L]
+    token rows; positions with value < 0 are padding (variable true
+    lengths under one static shape, matching `_edit_distance_pairwise`).
+    """
+    la = jnp.sum(a >= 0)
+    lb = jnp.sum(b >= 0)
+    L = a.shape[0]
+    K = 2 * band + 1
+    inf = jnp.int32(band + 1)
+    offs = jnp.arange(K, dtype=jnp.int32) - band  # column offset j - r
+
+    # Row 0: dp[0][j] = j for j in 0..band; columns off-band are saturated.
+    w0 = jnp.minimum(jnp.where(offs >= 0, offs, inf), inf).astype(jnp.int32)
+
+    def step(w_prev, r0):
+        # w_prev[d] = dp[r][r + offs[d]]; compute row r+1 (a-prefix r+1).
+        r = r0 + 1
+        j = r + offs  # columns this row's window covers
+        achar = a[r - 1]
+        bj = jnp.where(
+            (j >= 1) & (j <= L), b[jnp.clip(j - 1, 0, L - 1)], jnp.int32(-2)
+        )
+        cost = jnp.where(achar == bj, 0, 1).astype(jnp.int32)
+        # dp[r-1][j] sits one offset up in the previous window; dp[r-1][j-1]
+        # sits at the same offset.
+        up = jnp.concatenate([w_prev[1:], inf[None]])
+        cand = jnp.minimum(up + 1, w_prev + cost)
+        # Left-to-right pass for dp[r][j-1] + 1 — K is tiny, unroll it.
+        vals = []
+        left = inf
+        for d in range(K):
+            v = jnp.minimum(cand[d], left + 1)
+            v = jnp.where(j[d] == 0, r, v)
+            v = jnp.where((j[d] < 0) | (j[d] > lb), inf, v)
+            v = jnp.minimum(v, inf)
+            vals.append(v)
+            left = v
+        w_new = jnp.stack(vals)
+        # Freeze once past a's true length so w holds row `la` at the end.
+        w_new = jnp.where(r <= la, w_new, w_prev)
+        return w_new, None
+
+    w_final, _ = jax.lax.scan(step, w0, jnp.arange(L, dtype=jnp.int32))
+    # Answer = dp[la][lb] = window offset lb - la (saturated if off-band).
+    off = lb - la
+    in_band = jnp.abs(off) <= band
+    idx = jnp.clip(off + band, 0, K - 1)
+    return jnp.where(in_band, w_final[idx], inf)
+
+
+@partial(jax.jit, static_argnames=("band",))
+def banded_edit_distance_matrix(queries, cache, band: int = 2):
+    """Levenshtein matrix (int32[B, N]) exact up to `band`, else band + 1.
+
+    The radius-limited exact distance the DynaPPO density reward needs
+    (reference environments/dyna_ppo.py:106-114 calls `editdistance.eval`
+    per pair and keeps only 0 < d <= 2): entries <= band are the true
+    Levenshtein distance; larger distances all report band + 1, which the
+    density weighting discards anyway.
+    """
+    queries = jnp.asarray(queries)
+    cache = jnp.asarray(cache)
+    f = jax.vmap(
+        jax.vmap(_banded_edit_distance_pairwise, in_axes=(None, 0, None)),
+        in_axes=(0, None, None),
+    )
+    return f(queries, cache, band)

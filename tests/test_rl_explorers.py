@@ -141,6 +141,17 @@ def test_dyna_ppo_density_penalty():
     assert d == pytest.approx(1.0 / 1 + 0.5 / 1)
 
 
+def test_dyna_ppo_density_uses_exact_edit_distance():
+    # ACGT -> CGTA is Hamming distance 4 (every position differs) but
+    # Levenshtein distance 2 (drop the leading A, append an A).  The
+    # reference weighs it 1/2 via editdistance.eval
+    # (reference environments/dyna_ppo.py:106-114); a Hamming density
+    # would report 0.  Pins that the env uses true edit distance.
+    env = DynaPPOEnvironment(flexs.DNAA, 4, CountTModel(), FakeLandscape(), 1)
+    env._density.update(["ACGT"], [1.0])
+    assert env.sequence_density("CGTA") == pytest.approx(1.0 / 2)
+
+
 # -- explorers ---------------------------------------------------------------
 
 
