@@ -96,7 +96,13 @@ def run_sweep(n_landscapes: int = 40):
 
 
 def run_eval_sweeps():
-    """Efficiency/adaptivity evaluator throughput (VERDICT r2 weak #6)."""
+    """Efficiency/adaptivity evaluator throughput (VERDICT r2 weak #6).
+
+    Runs the FULL reference grids (reference evaluate.py:43-48 budget
+    pairs incl. (100,5000) and (1000,10000); evaluate.py:81 rounds
+    1/10/100) — the round-3 bench trimmed both, which excluded the most
+    adverse shapes (VERDICT r3 weak #3).
+    """
     from flexs_tpu.landscapes import tf_binding
     from flexs_tpu.parallel.sweep import run_adaptivity_sweep, run_efficiency_sweep
 
@@ -109,8 +115,9 @@ def run_eval_sweeps():
     out = {}
     for label, fn, extra in (
         ("efficiency", run_efficiency_sweep,
-         {"budgets": ((100, 500), (1000, 5000)), "rounds": 10}),
-        ("adaptivity", run_adaptivity_sweep, {"num_rounds": (1, 10)}),
+         {"budgets": ((100, 500), (100, 5000), (1000, 5000), (1000, 10000)),
+          "rounds": 10}),
+        ("adaptivity", run_adaptivity_sweep, {"num_rounds": (1, 10, 100)}),
     ):
         fn(**kw, **extra)  # compile warm
         walls = []
@@ -168,38 +175,59 @@ def run_rna_oracle(batch: int = 512, l1: int = 100, reps: int = 20):
     return batch / med, [round(batch / s, 1) for s in (spread[1], spread[0])], bitexact
 
 
-def _preflight(timeout_s: float = 150.0, attempts: int = 4,
-               retry_wait_s: float = 120.0) -> bool:
+# Preflight schedule: attempts x timeout + waits between = worst-case
+# outage-detection latency; the failure message is built from these.
+_PREFLIGHT_TIMEOUT_S = 150.0
+_PREFLIGHT_ATTEMPTS = 4
+_PREFLIGHT_RETRY_WAIT_S = 120.0
+
+
+def _preflight(timeout_s: float = _PREFLIGHT_TIMEOUT_S,
+               attempts: int = _PREFLIGHT_ATTEMPTS,
+               retry_wait_s: float = _PREFLIGHT_RETRY_WAIT_S) -> bool:
     """True iff the backend answers a tiny round-trip within the deadline.
 
     The remote-TPU relay can wedge completely (even `jax.devices()` then
-    blocks forever — CLAUDE.md); a daemon-thread probe bounds the hang so
-    a driver bench run fails loudly instead of never returning. Wedges are
-    often transient (observed: down for minutes right after another
-    process released the TPU), so the probe retries a few times — a real
-    outage still fails within ~15 min, but a brief hiccup at bench time
-    no longer records a spurious zero.
+    blocks forever — CLAUDE.md); each probe is a fresh SUBPROCESS under
+    `timeout`, so every attempt opens a new PJRT client (an in-process
+    thread probe would block on the first attempt's backend-init lock,
+    degrading retries to one long wait, and a late-waking hung thread
+    could race the timed bench). Wedges are often transient (observed:
+    down for minutes right after another process released the TPU), so
+    the probe retries — a real outage still fails within
+    attempts*timeout + (attempts-1)*wait, but a brief hiccup at bench
+    time no longer records a spurious zero.
     """
-    import threading
+    import subprocess
+    import sys
     import time as _time
 
-    ok = []
-
-    def probe():
-        import numpy as np
-        import jax.numpy as jnp
-
-        ok.append(float(np.asarray(jnp.ones((8, 8))).sum()))
-
+    code = ("import jax, numpy as np, jax.numpy as jnp; "
+            "print(np.asarray(jnp.ones((8, 8))).sum())")
     for attempt in range(attempts):
-        t = threading.Thread(target=probe, daemon=True)
-        t.start()
-        t.join(timeout_s)
-        if ok:
-            return True
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0 and b"64.0" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
         if attempt < attempts - 1:
             _time.sleep(retry_wait_s)
     return False
+
+
+def _preflight_failure_note() -> str:
+    total_min = (_PREFLIGHT_ATTEMPTS * _PREFLIGHT_TIMEOUT_S
+                 + (_PREFLIGHT_ATTEMPTS - 1) * _PREFLIGHT_RETRY_WAIT_S) / 60.0
+    return (
+        f"backend preflight timed out ({_PREFLIGHT_ATTEMPTS} subprocess "
+        f"probes over ~{total_min:.0f} min; TPU relay unreachable); "
+        "no measurement taken"
+    )
 
 
 def main():
@@ -211,8 +239,7 @@ def main():
                     "value": 0,
                     "unit": "seqs/sec",
                     "vs_baseline": 0,
-                    "error": "backend preflight timed out (4 probes over "
-                    "~15 min; TPU relay unreachable); no measurement taken",
+                    "error": _preflight_failure_note(),
                 }
             )
         )
