@@ -19,7 +19,6 @@ call per target, and `device_fitness()` exposes the pure-fn form for the
 fused runner and sweep engine.  The energy model is calibrated against
 oracle outputs shipped with the reference (scripts/calibrate_rna.py).
 """
-from functools import partial
 from typing import Dict, List, Optional
 
 import jax
@@ -28,7 +27,7 @@ import numpy as np
 
 from flexs_tpu.alphabet import RNAA, Alphabet
 from flexs_tpu.landscape import Landscape
-from flexs_tpu.ops import rna_duplex
+from flexs_tpu.ops import rna_duplex, rna_fold
 from flexs_tpu.ops.padding import next_bucket, pad_rows
 from flexs_tpu.types import SEQUENCES_TYPE
 
@@ -189,79 +188,43 @@ class RNABinding(Landscape):
         return np.asarray(scores[:n], dtype=np.float64)
 
 
-@partial(jax.jit, static_argnames=("min_hairpin",))
-def _nussinov_stack_mfe(tokens, stack_tbl, hairpin_penalty, min_hairpin: int = 3):
-    """Approximate single-strand MFE: Nussinov DP with stacking energies.
-
-    W[i, j] = min over (unpaired j | pair (k, j)) with stacking credit when
-    (k+1, j-1) also pairs.  An O(L^3) scan over subsequence spans; an
-    approximation of ViennaRNA's full Zuker model (documented deviation —
-    `RNAFolding` backs no benchmark problem in the reference registry).
-    """
-    L = tokens.shape[0]
-    pair_tbl = jnp.asarray(rna_duplex.PAIR_TABLE)
-    ptype = pair_tbl[tokens[:, None], tokens[None, :]]  # [L, L]
-
-    big = jnp.float32(1e6)
-
-    def span_step(w, span):
-        # w: [L, L] DP matrix; compute entries for j - i == span.
-        i_idx = jnp.arange(L)
-        j_idx = i_idx + span
-        valid = j_idx < L
-        j_safe = jnp.minimum(j_idx, L - 1)
-
-        # Option 1: j unpaired.
-        unpaired = w[i_idx, jnp.maximum(j_safe - 1, 0)]
-        unpaired = jnp.where(span > 0, unpaired, 0.0)
-
-        # Option 2: k pairs j for k in [i, j - min_hairpin), i.e. at least
-        # min_hairpin unpaired bases between k and j (ViennaRNA's hairpin
-        # minimum): j - k - 1 >= min_hairpin <=> k_off + min_hairpin < span.
-        def pair_option(k_off):
-            k = i_idx + k_off
-            can = k_off + min_hairpin < span
-            pt = ptype[jnp.minimum(k, L - 1), j_safe]
-            inner_pt = ptype[jnp.minimum(k + 1, L - 1), jnp.maximum(j_safe - 1, 0)]
-            stack_credit = jnp.where(
-                inner_pt > 0, stack_tbl[pt, inner_pt] - hairpin_penalty, 0.0
-            )
-            left = jnp.where(k_off > 0, w[i_idx, jnp.maximum(k - 1, 0)], 0.0)
-            inner = w[jnp.minimum(k + 1, L - 1), jnp.maximum(j_safe - 1, 0)]
-            e = left + inner + hairpin_penalty + stack_credit
-            return jnp.where(can & (pt > 0), e, big)
-
-        pair_es = jax.vmap(pair_option)(jnp.arange(L))  # [L(k_off), L(i)]
-        best_pair = jnp.min(pair_es, axis=0)
-
-        vals = jnp.minimum(unpaired, best_pair)
-        vals = jnp.where(valid, vals, 0.0)
-        w = w.at[i_idx, j_safe].set(jnp.where(valid, vals, w[i_idx, j_safe]))
-        return w, None
-
-    w0 = jnp.zeros((L, L), jnp.float32)
-    w, _ = jax.lax.scan(span_step, w0, jnp.arange(L))
-    return w[0, L - 1]
-
-
 class RNAFolding(Landscape):
-    """RNA folding stability landscape (negative MFE)."""
+    """RNA folding stability landscape (negative MFE).
 
-    def __init__(self, norm_value: float = 1):
-        """Create an RNAFolding landscape."""
+    The oracle is the Turner-structured Zuker DP of
+    flexs_tpu.ops.rna_fold (hairpin size curve, bulge/interior/1x1 terms
+    from the calibrated duplex tables, affine multiloop closure) — the
+    device analog of the reference's `RNA.fold` call (reference
+    rna.py:15-27).  Absolute calibration vs `RNA.fold` remains blocked in
+    this environment (BASELINE.md); structural fidelity is test-pinned
+    against an independent NumPy Zuker implementation and the
+    Turner-model orderings Nussinov+stack provably got wrong.
+    """
+
+    def __init__(self, norm_value: float = 1, params=None):
+        """Create an RNAFolding landscape.
+
+        Args:
+            norm_value: Normalization divisor (fitness = -MFE / norm).
+            params: Duplex energy parameters the fold model derives its
+                sequence-dependent tables from (default: calibrated set).
+        """
         super().__init__(name="RNAFolding")
         self.norm_value = norm_value
-        self._stack = jnp.asarray(rna_duplex.STACK)
+        p = params or rna_duplex.DuplexParams.calibrated()
+        self._fold_em = rna_fold.fold_energy_model(p)
 
     def fitness_from_tokens(self, tokens) -> jnp.ndarray:
-        fn = jax.vmap(
-            lambda s: _nussinov_stack_mfe(s, self._stack, jnp.float32(3.0))
+        return _folding_fitness_fn(
+            (self._fold_em, jnp.float32(self.norm_value)), jnp.asarray(tokens)
         )
-        return -fn(jnp.asarray(tokens)) / self.norm_value
 
     def device_fitness(self):
         """(pure fitness fn, params) pair for fused device runners."""
-        return _folding_fitness_fn, (self._stack, jnp.float32(self.norm_value))
+        return _folding_fitness_fn, (
+            self._fold_em,
+            jnp.float32(self.norm_value),
+        )
 
     def _fitness_function(self, sequences: SEQUENCES_TYPE) -> np.ndarray:
         # The reference RNAFolding folds each string independently
@@ -282,9 +245,9 @@ class RNAFolding(Landscape):
 
 def _folding_fitness_fn(params, tokens):
     """Module-level pure fn (stable jit-cache identity across instances)."""
-    stack_tbl, norm = params
-    fn = jax.vmap(lambda s: _nussinov_stack_mfe(s, stack_tbl, jnp.float32(3.0)))
-    return -fn(tokens) / norm
+    em, norm = params
+    maxloop = em["interior_cost"].shape[0] - 2
+    return -rna_fold.zuker_mfe_batch(tokens, em, maxloop) / norm
 
 
 def registry() -> Dict[str, Dict]:

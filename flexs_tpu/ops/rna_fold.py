@@ -1,0 +1,278 @@
+"""Single-strand RNA MFE folding: a Turner-structured Zuker DP on device.
+
+Reference behavior to match: `RNA.fold` (ViennaRNA's Zuker/Turner MFE) as
+used by the reference's RNAFolding landscape (reference
+flexs/landscapes/rna.py:15-27).  ViennaRNA itself cannot run here and the
+reference ships no `RNA.fold` outputs, so absolute calibration is blocked
+(BASELINE.md) — but the *structure* of the energy model is reproduced:
+
+  * V(i,j): minimum energy of a structure closed by pair (i, j) —
+      hairpin   size-penalty curve (Turner 2004 initiation values with the
+                1.75*kT*ln tail) + closing-pair mismatch term;
+      two-loop  min over interior windows (d1, d2), d1+d2 <= maxloop:
+                stack (0x0), bulge (bx0 / 0xb; size-1 bulges stack
+                through, exactly ViennaRNA's E_IntLoop special case),
+                1x1 interior (joint int11 table), generic interior
+                (size curve + Ninio asymmetry + per-side mismatches);
+      multiloop affine closure a + b + terminal-AU + min-split into two
+                >=1-branch segments (fML).
+  * fML(i,j): multiloop segment with >= 1 branch — unpaired-base cost c,
+      per-branch cost b, last-branch decomposition.
+  * W(j): external loop — branches are free except terminal-AU ends.
+
+The sequence-dependent tables (stack, interior mismatches mA/mB, joint
+int11, bulge/interior size curves, Ninio, terminal-AU) are REUSED from the
+duplex energy model calibrated against the reference's shipped ViennaRNA
+scores (flexs_tpu.ops.rna_duplex, scripts/calibrate_rna.py) — the same
+Turner parameter families `RNA.fold` draws from.  Fold-only terms that the
+duplex model has no analog for (hairpin initiation curve, multiloop affine
+constants) use the public Turner 2004 values.
+
+Documented residual deviations from the full Turner model (BASELINE.md):
+no tetraloop/special-hairpin bonus tables, no coaxial stacking, no
+dangles, hairpin mismatches approximated by the calibrated
+interior-opening mismatch table, 2x2 interiors through the generic
+formula, and the absolute scale is uncalibrated by construction.
+
+TPU mapping: one `lax.scan` over subsequence spans; each step fills a
+whole diagonal of V/fML at once with fixed-shape vectorized min-plus
+reductions — the interior window is one [n_windows, L] batched gather of
+earlier diagonals (static per-window column shifts), the multiloop split
+and last-branch reductions are [L, L] gathers — no data-dependent control
+flow, so the program jits once per length bucket and vmaps over batches.
+Uncomputed diagonals stay at +inf, which makes every wrapped (mod-L)
+gather outside the valid triangle saturate instead of contaminating the
+min-plus algebra.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flexs_tpu.ops import rna_duplex
+
+_INF = np.float32(1e6)
+
+# Turner 2004 hairpin-loop initiation dG37 (kcal/mol) by loop size; sizes
+# 0-2 are sterically impossible.  Extended past 30 with the standard
+# 1.75*kT*ln(n/30) tail at model build time.
+HAIRPIN_INIT = [
+    _INF, _INF, _INF,
+    5.40, 5.60, 5.70, 5.40, 6.00, 5.50, 6.40, 6.50, 6.60, 6.70, 6.78,
+    6.86, 6.94, 7.01, 7.07, 7.13, 7.19, 7.25, 7.30, 7.35, 7.40, 7.44,
+    7.49, 7.53, 7.57, 7.61, 7.65, 7.69,
+]
+
+# Turner multiloop affine model (ViennaRNA defaults, dG37 kcal/mol):
+# closing penalty, per-branch penalty, per-unpaired-base penalty.
+ML_CLOSING = 3.40
+ML_BRANCH = 0.40
+ML_UNPAIRED = 0.00
+
+# Pair-type reversal: (i,j) seen as (j,i).  CG<->GC, GU<->UG, AU<->UA.
+_REV_PT = np.array([0, 2, 1, 4, 3, 6, 5], dtype=np.int32)
+
+_MAX_HAIRPIN_TABLE = 512
+
+
+def fold_energy_model(params: "rna_duplex.DuplexParams" = None) -> dict:
+    """Traced-table pytree for `zuker_mfe` (device-resident, cached).
+
+    Reuses the calibrated duplex tables for every term with a duplex
+    analog; adds the fold-only hairpin curve and multiloop constants.
+    """
+    params = params or rna_duplex.DuplexParams.calibrated()
+    cached = getattr(params, "_fold_em_cache", None)
+    if cached is not None:
+        return cached
+    em = {
+        "stack": jnp.asarray(params.stack),
+        "mA": jnp.asarray(params.mA),
+        "mB": jnp.asarray(params.mB),
+        "int11": jnp.asarray(params.int11),
+        "interior_cost": jnp.asarray(params.interior_cost_matrix()),
+        "bulge_sizes": jnp.asarray(params.bulge_sizes),
+        "hairpin_sizes": jnp.asarray(
+            rna_duplex._loop_tail(HAIRPIN_INIT, _MAX_HAIRPIN_TABLE)
+        ),
+        "consts": jnp.array(
+            [ML_CLOSING, ML_BRANCH, ML_UNPAIRED, params.terminal_au],
+            jnp.float32,
+        ),
+    }
+    params._fold_em_cache = em
+    return em
+
+
+def _interior_windows(maxloop: int):
+    """Static (d1, d2) interior-window offsets with d1 + d2 <= maxloop.
+
+    d1/d2 = unpaired bases on the 5'/3' side between closing pair (i, j)
+    and inner pair (i + d1 + 1, j - d2 - 1).  (0, 0) is the helix stack.
+    """
+    wins = [
+        (d1, d2)
+        for d1 in range(maxloop + 1)
+        for d2 in range(maxloop + 1)
+        if d1 + d2 <= maxloop
+    ]
+    return np.array(wins, dtype=np.int32)
+
+
+@partial(jax.jit, static_argnames=("maxloop", "min_hairpin"))
+def zuker_mfe(tokens, em, maxloop: int = 16, min_hairpin: int = 3):
+    """MFE (kcal/mol, <= 0) of one int32[L] RNA token row.
+
+    Diagonal-form DP: Vd[s, i] = V(i, i+s), Md[s, i] = fML(i, i+s), both
+    filled by one lax.scan over spans s; the external loop W runs as a
+    second scan over positions.
+    """
+    L = tokens.shape[0]
+    pair_tbl = jnp.asarray(rna_duplex.PAIR_TABLE)
+    weak = jnp.asarray(rna_duplex.WEAK_PAIR)
+    rev_pt = jnp.asarray(_REV_PT)
+    ml_a, ml_b, ml_c, term_au = (em["consts"][k] for k in range(4))
+    max_bulge = em["bulge_sizes"].shape[0] - 1
+
+    wins = _interior_windows(maxloop)  # [P, 2]
+    d1s = jnp.asarray(wins[:, 0])
+    d2s = jnp.asarray(wins[:, 1])
+
+    idx = jnp.arange(L)
+    # tok_shift[k, i] = tokens[(i + k) % L] for the static 5'-side offsets.
+    tok_shift = jnp.stack([jnp.roll(tokens, -k) for k in range(maxloop + 2)])
+    # col_plus[t, i] = (i + t) % L — shared gather columns for the O(L)
+    # split/branch reductions.
+    col_plus = (idx[None, :] + idx[:, None]) % L
+
+    big = jnp.float32(_INF)
+
+    def span_step(carry, s):
+        Vd, Md = carry
+        valid_i = idx + s < L  # (i, i+s) inside the sequence
+
+        tok_s = jnp.roll(tokens, -s)  # tokens[(i+s) % L]
+        # tok_s_shift[m, i] = tokens[(i + s - m) % L] for m = 0..maxloop+1
+        # (3'-side neighbors of the interior windows).
+        tok_s_shift = jnp.stack(
+            [jnp.roll(tok_s, m) for m in range(maxloop + 2)]
+        )
+        pt = pair_tbl[tokens, tok_s]  # closing pair type of (i, i+s)
+        pairable = (pt > 0) & valid_i
+
+        # ---- hairpin: loop size = s - 1 ------------------------------
+        size = s - 1
+        hp = em["hairpin_sizes"][jnp.clip(size, 0, _MAX_HAIRPIN_TABLE)]
+        b5 = tok_shift[1]  # tokens[i+1]
+        b3 = tok_s_shift[1]  # tokens[i+s-1]
+        hp_mm = jnp.where(
+            size > min_hairpin,
+            em["mA"][pt, b5, b3],  # closing mismatch (approximation)
+            term_au * weak[pt],  # size-3 loops: terminal AU only
+        )
+        e_hairpin = jnp.where(size >= min_hairpin, hp + hp_mm, big)
+
+        # ---- two-loops: stack / bulge / 1x1 / generic interior -------
+        # Inner pair (i + d1 + 1, i + s - d2 - 1), span s' = s - d1 - d2 - 2.
+        rows = (s - (d1s + d2s + 2)) % L  # [P]; s' > s wraps to +inf rows
+        cols = (idx[None, :] + (d1s + 1)[:, None]) % L  # [P, L]
+        v_inner = Vd[rows[:, None], cols]  # [P, L]
+
+        tok_k = tok_shift[d1s + 1]  # [P, L]: tokens[i+d1+1]
+        tok_l = tok_s_shift[d2s + 1]  # tokens[i+s-d2-1]
+        pt_in = pair_tbl[tok_k, tok_l]  # [P, L]
+        pt_in_rev = rev_pt[pt_in]
+
+        is_stack = ((d1s == 0) & (d2s == 0))[:, None]
+        bulge_n = jnp.maximum(d1s, d2s)
+        is_bulge = (((d1s == 0) | (d2s == 0)) & (bulge_n > 0))[:, None]
+        is_11 = ((d1s == 1) & (d2s == 1))[:, None]
+
+        e_stack = em["stack"][pt[None, :], pt_in]
+        e_bulge = em["bulge_sizes"][jnp.clip(bulge_n, 0, max_bulge)][
+            :, None
+        ] + jnp.where(
+            (bulge_n == 1)[:, None],
+            e_stack,  # 1-bulges stack through (ViennaRNA E_IntLoop)
+            term_au * (weak[pt][None, :] + weak[pt_in]),
+        )
+        # Per-side interior mismatches: outer loop bases (i+1, i+s-1),
+        # inner loop bases (l+1 = i+s-d2, k-1 = i+d1).
+        mm_out = em["mA"][pt[None, :], b5[None, :], b3[None, :]]
+        mm_in = em["mB"][pt_in_rev, tok_s_shift[d2s], tok_shift[d1s]]
+        e_11 = em["int11"][pt[None, :], pt_in_rev, b5[None, :], b3[None, :]]
+        # interior_cost[d1+1, d2+1] = size curve + Ninio for (d1, d2)
+        # unpaired; +inf at bulge/stack/1x1 windows by construction.
+        e_int = em["interior_cost"][d1s + 1, d2s + 1][:, None] + mm_out + mm_in
+        e_loop = jnp.where(
+            is_stack,
+            e_stack,
+            jnp.where(is_bulge, e_bulge, jnp.where(is_11, e_11, e_int)),
+        )
+        inner_ok = ((s - (d1s + d2s + 2)) >= (min_hairpin + 1))[:, None]
+        e_two = jnp.min(jnp.where(inner_ok, e_loop + v_inner, big), axis=0)
+
+        # ---- multiloop closure: a + b + AU + split into two fML ------
+        # Left fML(i+1, i+1+p) + right fML(i+2+p, i+s-1) over p; the two
+        # >=1-branch segments give the >=2 interior branches a multiloop
+        # needs (the closing helix is the third).
+        md_left = jnp.roll(Md, -1, axis=1)  # [p, i] = fML(i+1, i+1+p)
+        rows_r = (s - 3 - idx) % L  # right segment spans
+        cols_r = (col_plus + 2) % L  # right segment starts at i+2+p
+        md_right = Md[rows_r[:, None], cols_r]
+        # Explicit split bound: p > s - 3 wraps rows_r back onto already
+        # computed spans (overlapping segments) — mask, don't rely on inf.
+        split_ok = (idx <= s - 3)[:, None]
+        ml_split = jnp.min(jnp.where(split_ok, md_left + md_right, big), axis=0)
+        e_ml = ml_a + ml_b + term_au * weak[pt] + ml_split
+
+        v_new = jnp.where(
+            pairable, jnp.minimum(e_hairpin, jnp.minimum(e_two, e_ml)), big
+        )
+        Vd = Vd.at[s % L].set(jnp.where(valid_i, v_new, big))
+
+        # ---- fML: last-branch decomposition ---------------------------
+        # fML(i, i+s) = min( fML(i, i+s-1) + c,
+        #                    min_t prefix(i, t) + V(i+t, i+s) + b + AU )
+        # prefix(i, 0) = 0; prefix(i, t) = min(fML(i, i+t-1), c * t).
+        v_branch = Vd[((s - idx) % L)[:, None], col_plus]  # [t, i]
+        tok_t = tokens[col_plus]  # tokens[(i+t) % L]
+        pt_br = pair_tbl[tok_t, tok_s[None, :]]
+        au_br = term_au * weak[pt_br]
+        prefix = jnp.minimum(jnp.roll(Md, 1, axis=0), ml_c * idx[:, None])
+        prefix = jnp.where((idx == 0)[:, None], 0.0, prefix)
+        m_branch = jnp.min(prefix + v_branch + ml_b + au_br, axis=0)
+        m_unpaired_j = Md[(s - 1) % L] + ml_c
+        m_new = jnp.minimum(m_unpaired_j, m_branch)
+        Md = Md.at[s % L].set(jnp.where(valid_i, m_new, big))
+
+        return (Vd, Md), None
+
+    Vd0 = jnp.full((L, L), big)
+    Md0 = jnp.full((L, L), big)
+    (Vd, Md), _ = jax.lax.scan(
+        span_step, (Vd0, Md0), jnp.arange(1, L, dtype=jnp.int32)
+    )
+
+    # ---- external loop -------------------------------------------------
+    pt_ext = pair_tbl[tokens[:, None], tokens[None, :]]  # [i, j]
+
+    def ext_step(W, j):
+        # W[k] = MFE of the prefix [0, k); unpaired j extends for free.
+        v_col = Vd[(j - idx) % L, idx]  # V(i, j) for all i (i == j -> inf)
+        au = term_au * weak[pt_ext[:, j]]
+        cand = jnp.where(idx <= j, W[idx] + v_col + au, big)
+        w_new = jnp.minimum(W[j], jnp.min(cand))
+        return W.at[j + 1].set(w_new), None
+
+    W0 = jnp.zeros(L + 1, jnp.float32)
+    W, _ = jax.lax.scan(ext_step, W0, jnp.arange(L, dtype=jnp.int32))
+    return jnp.minimum(W[L], 0.0)
+
+
+def zuker_mfe_batch(tokens, em, maxloop: int = 16, min_hairpin: int = 3):
+    """Vmapped `zuker_mfe` over int32[B, L] token rows."""
+    return jax.vmap(lambda s: zuker_mfe(s, em, maxloop, min_hairpin))(
+        jnp.asarray(tokens)
+    )

@@ -1,0 +1,246 @@
+"""Tests for the Turner-structured Zuker folding DP (ops/rna_fold.py).
+
+The device DP is pinned against an INDEPENDENT NumPy Zuker implementation
+below (classic 4-way fML recurrence with an explicit fML x fML split,
+different decomposition from the device's last-branch form — agreement is
+meaningful, not tautological), then against the Turner-model structural
+orderings the old Nussinov+stack DP provably got wrong (VERDICT r3 #1):
+hairpin-size ordering, bulge-vs-contiguous-helix ordering, and
+weak-closure multiloop rejection.
+"""
+import numpy as np
+import pytest
+
+from flexs_tpu.alphabet import RNAA, Alphabet
+from flexs_tpu.ops import rna_duplex, rna_fold
+
+_RNA = Alphabet(RNAA)
+_INF = 1e6
+
+
+def _tables(params=None):
+    p = params or rna_duplex.DuplexParams.calibrated()
+    hairpin = rna_duplex._loop_tail(
+        rna_fold.HAIRPIN_INIT, rna_fold._MAX_HAIRPIN_TABLE
+    )
+    return {
+        "stack": p.stack,
+        "mA": p.mA,
+        "mB": p.mB,
+        "int11": p.int11,
+        "interior_cost": p.interior_cost_matrix(),
+        "bulge": p.bulge_sizes,
+        "hairpin": hairpin,
+        "term_au": p.terminal_au,
+        "maxloop": p.maxloop,
+    }
+
+
+def _ref_zuker(tokens, t, min_h=3):
+    """Independent NumPy Zuker MFE with the same energy model.
+
+    Classic recurrences: V (hairpin / two-loop / multiloop via M-split),
+    M = fML with the textbook 4-option form incl. an explicit M x M
+    split (the device DP uses a last-branch decomposition instead).
+    """
+    PT = rna_duplex.PAIR_TABLE
+    WEAK = rna_duplex.WEAK_PAIR
+    REV = rna_fold._REV_PT
+    seq = list(tokens)
+    L = len(seq)
+    ml_a, ml_b, ml_c = (
+        rna_fold.ML_CLOSING, rna_fold.ML_BRANCH, rna_fold.ML_UNPAIRED,
+    )
+    au = t["term_au"]
+
+    V = np.full((L, L), _INF)
+    M = np.full((L, L), _INF)
+    for s in range(1, L):
+        for i in range(L - s):
+            j = i + s
+            p = PT[seq[i], seq[j]]
+            best = _INF
+            if p > 0:
+                size = s - 1
+                if size >= min_h:
+                    mm = (
+                        t["mA"][p, seq[i + 1], seq[j - 1]]
+                        if size > min_h
+                        else au * WEAK[p]
+                    )
+                    best = min(best, t["hairpin"][size] + mm)
+                for d1 in range(t["maxloop"] + 1):
+                    for d2 in range(t["maxloop"] + 1 - d1):
+                        k, l = i + d1 + 1, j - d2 - 1
+                        if l - k < min_h + 1:
+                            continue
+                        q = PT[seq[k], seq[l]]
+                        if q == 0:
+                            continue
+                        if d1 == 0 and d2 == 0:
+                            e = t["stack"][p, q]
+                        elif d1 == 0 or d2 == 0:
+                            b = max(d1, d2)
+                            e = t["bulge"][b] + (
+                                t["stack"][p, q]
+                                if b == 1
+                                else au * (WEAK[p] + WEAK[q])
+                            )
+                        elif d1 == 1 and d2 == 1:
+                            e = t["int11"][p, REV[q], seq[i + 1], seq[j - 1]]
+                        else:
+                            e = (
+                                t["interior_cost"][d1 + 1, d2 + 1]
+                                + t["mA"][p, seq[i + 1], seq[j - 1]]
+                                + t["mB"][REV[q], seq[l + 1], seq[k - 1]]
+                            )
+                        best = min(best, e + V[k, l])
+                for k in range(i + 2, j - 1):
+                    best = min(
+                        best,
+                        ml_a + ml_b + au * WEAK[p] + M[i + 1, k] + M[k + 1, j - 1],
+                    )
+            V[i, j] = best
+
+            m = min(M[i + 1, j] + ml_c if i + 1 <= j else _INF,
+                    M[i, j - 1] + ml_c)
+            if p > 0:
+                m = min(m, V[i, j] + ml_b + au * WEAK[p])
+            for k in range(i, j):
+                m = min(m, M[i, k] + M[k + 1, j])
+            M[i, j] = min(m, _INF)
+
+    W = np.zeros(L + 1)
+    for j in range(L):
+        w = W[j]
+        for i in range(j + 1):
+            p = PT[seq[i], seq[j]]
+            if V[i, j] < _INF / 2:
+                w = min(w, W[i] + V[i, j] + au * WEAK[p])
+        W[j + 1] = w
+    return min(W[L], 0.0)
+
+
+def _mfe(seq: str) -> float:
+    em = rna_fold.fold_energy_model()
+    tok = _RNA.encode([seq])
+    return float(rna_fold.zuker_mfe_batch(tok, em)[0])
+
+
+@pytest.mark.parametrize("L", [10, 16, 24, 31])
+def test_device_dp_matches_independent_zuker(L):
+    rng = np.random.default_rng(L)
+    em = rna_fold.fold_energy_model()
+    t = _tables()
+    toks = rng.integers(0, 4, size=(6, L)).astype(np.int32)
+    # Bias two rows toward structure: embed a complementary stem.
+    toks[0, : L // 3] = _RNA.encode_one("G" * (L // 3))
+    toks[0, -(L // 3):] = _RNA.encode_one("C" * (L // 3))
+    toks[1, : L // 4] = _RNA.encode_one("GC" * (L // 8) + "G" * (L // 4 % 2))
+    got = np.asarray(rna_fold.zuker_mfe_batch(toks, em))
+    want = np.array([_ref_zuker(row, t) for row in toks])
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-4)
+
+
+def test_hairpin_size_ordering():
+    # Same 6-pair GC stem, growing poly-A loop. The Turner initiation
+    # curve makes large loops strictly worse past ~9 nt (Nussinov+stack
+    # had no size term at all, scoring all of these identically).
+    e4, e8, e16, e30 = (
+        _mfe("GGGGGG" + "A" * n + "CCCCCC") for n in (4, 8, 16, 30)
+    )
+    assert e8 < e16 < e30 < 0
+    # Identical stems + mismatches: pairwise gaps are EXACTLY the curve
+    # differences — including Turner's non-monotone dip at size 8
+    # (h(8)=5.5 < h(4)=5.6), which this DP reproduces faithfully.
+    h = np.asarray(rna_fold.fold_energy_model()["hairpin_sizes"])
+    assert e8 - e4 == pytest.approx(h[8] - h[4], abs=1e-3)
+    assert e16 - e8 == pytest.approx(h[16] - h[8], abs=1e-3)
+    assert e30 - e16 == pytest.approx(h[30] - h[16], abs=1e-3)
+
+
+def test_bulge_less_stable_than_contiguous_helix():
+    # Same five GC pairs + same loop; one strand carries a 1-nt bulge A.
+    contiguous = "GGGGG" + "AAAA" + "CCCCC"
+    bulged = "GGG" + "A" + "GG" + "AAAA" + "CCCCC"
+    e_cont, e_bulge = _mfe(contiguous), _mfe(bulged)
+    assert e_cont < e_bulge < 0
+    # The gap is at least the bulge initiation cost minus mismatch slack.
+    assert e_bulge - e_cont > 1.0
+
+
+def test_multiloop_closure_is_charged():
+    # Multiloop vs two-hairpin discrimination (the case Nussinov+stack
+    # provably got wrong: it closed multiloops for free). Perturbing the
+    # affine closing constant must shift the MFE of a fold whose optimal
+    # structure contains a multiloop by exactly the perturbation (charged
+    # once), and must leave a plain two-hairpin fold untouched (charged
+    # never).
+    em = rna_fold.fold_energy_model()
+    delta = 0.5
+    em_hi = dict(em)
+    em_hi["consts"] = em["consts"] + np.array([delta, 0, 0, 0], np.float32)
+
+    def mfe_with(seq, e):
+        tok = _RNA.encode([seq])
+        return float(rna_fold.zuker_mfe_batch(tok, e)[0])
+
+    # Arms use OPPOSITE stem orders (C..G vs G..C) so any cross-arm
+    # "ladder" re-pairing would be pseudoknotted, which the nested DP
+    # excludes — the closed fold's only winning topology is the real
+    # multiloop (empirically verified: same-order arms re-pair into a
+    # penalty-free nested ladder instead).
+    two_arms = "CCCCAAAAGGGG" + "AA" + "GGGGAAAACCCC"
+    ml = "GGGGG" + "A" + two_arms + "A" + "CCCCC"  # strong closing stem
+    shift_ml = mfe_with(ml, em_hi) - mfe_with(ml, em)
+    shift_open = mfe_with(two_arms, em_hi) - mfe_with(two_arms, em)
+    assert shift_ml == pytest.approx(delta, abs=1e-4), shift_ml
+    assert shift_open == pytest.approx(0.0, abs=1e-6), shift_open
+    # And the strong closing stem makes the multiloop fold strictly
+    # better than leaving the arms external.
+    assert mfe_with(ml, em) < mfe_with(two_arms, em) - 5.0
+
+
+def test_strong_multiloop_closure_accepted():
+    # A 5-pair GC closing stem gains ~4 stacks (~ -13 kcal/mol) — far more
+    # than the multiloop closure costs — so the closed fold must now be
+    # strictly more stable than the bare two-arm fold.
+    arm = "GGGGAAAACCCC"
+    two_arms = arm + "AA" + arm
+    closed = "GGGGG" + "A" + two_arms + "A" + "CCCCC"
+    assert _mfe(closed) < _mfe(two_arms) - 5.0
+
+
+def test_longer_stem_monotonically_lower():
+    energies = [_mfe("G" * n + "AAAA" + "C" * n) for n in (3, 5, 7)]
+    for a, b in zip(energies, energies[1:]):
+        assert b < a, energies
+
+
+def test_unpairable_sequence_scores_zero():
+    assert _mfe("A" * 20) == 0.0
+
+
+def test_min_hairpin_enforced():
+    # A 2-nt loop cannot close: GGG-AA-CCC has no legal hairpin, but the
+    # outer pairs can still reach across, so force a tiny case.
+    assert _mfe("GCAAGC") == 0.0 or _mfe("GCAAGC") < 0  # smoke: no crash
+    # Direct pin: 3 unpaired minimum means GGGAAACCC (loop 3) folds but
+    # GGGAACCC (would need loop 2) must fold strictly worse or not at all.
+    e3 = _mfe("GGGAAACCC")
+    e2 = _mfe("GGGAACCC")
+    assert e3 < 0
+    assert e2 > e3
+
+
+def test_landscape_uses_zuker_dp():
+    from flexs_tpu.landscapes.rna import RNAFolding
+
+    land = RNAFolding()
+    seq = "GGGGGGAAAACCCCCC"
+    fit = land.get_fitness([seq])[0]
+    assert fit == pytest.approx(-_mfe(seq), abs=1e-4)
+    # device_fitness path agrees with the host path.
+    fn, params = land.device_fitness()
+    tok = _RNA.encode([seq])
+    np.testing.assert_allclose(np.asarray(fn(params, tok))[0], fit, atol=1e-5)
