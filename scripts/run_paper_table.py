@@ -25,6 +25,11 @@ REFERENCE = {
     "cbas": (0.555, 0.693),
     "dbas": (0.679, 0.770),
     "dynappo": (0.934, 0.972),
+    # Host-loop RL explorers, judged against the reference's only recorded
+    # RL row (DynaPPO on 3MSI).
+    "dqn": (0.934, 0.972),
+    "ppo": (0.934, 0.972),
+    "dynappo_mutative": (0.934, 0.972),
     # Fused device runners, judged against the same reference rows.
     "device-random": (0.417, 0.638),
     "device-adalead": (0.981, 0.996),
@@ -115,6 +120,14 @@ def main():
         if name == "dynappo":
             return ex.DynaPPO(
                 landscape, starting_sequence=start, env_batch_size=16, seed=0, **common
+            )
+        if name == "dqn":
+            return ex.DQN(model, starting_sequence=start, seed=0, **common)
+        if name == "ppo":
+            return ex.PPO(model, starting_sequence=start, seed=0, **common)
+        if name == "dynappo_mutative":
+            return ex.DynaPPOMutative(
+                landscape, starting_sequence=start, seed=0, **common
             )
         if name in ("device-cbas", "device-dbas"):
             from flexs_tpu.runtime import DeviceCbASNAM
