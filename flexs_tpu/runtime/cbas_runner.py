@@ -445,20 +445,25 @@ def run_cbas_nam(
         )
         n_pool = jnp.maximum(n_pool, n_ext)
 
-        key, k_train = jax.random.split(key)
-        variables, opt_state = train_vae(
-            variables, opt_state, pool_tokens, pool_w, n_pool, k_train
-        )
-        vae_0 = variables  # snapshot (reference :125-144)
-
         gen_tokens = jnp.zeros((gen_cap, L), jnp.int32)
         gen_preds = jnp.full((gen_cap,), -jnp.inf, jnp.float32)
         n_gen = jnp.int32(0)
 
-        def cycle(state, _):
+        # One scan emits the whole round: iteration i (re)trains the VAE on
+        # the current pool FIRST, then samples/scores/appends cycle i.
+        # Iteration 0's fit is the reference's pool fit (its result is the
+        # vae_0 snapshot, carried in the scan state); iteration `cycles` is
+        # the reference's final post-append refit with the sampling half
+        # masked off (live=False).  A host-level pool fit outside the scan
+        # would trace a SECOND full copy of the training loop into the
+        # executable, and first-dispatch program load through the relay
+        # scales with program size (BASELINE.md compile/first-call table) —
+        # folding it into the scan keeps one trace.
+        def cycle(state, i):
             (
                 variables,
                 opt_state,
+                vae_0,
                 pool_tokens,
                 pool_pk,
                 pool_w,
@@ -471,6 +476,15 @@ def run_cbas_nam(
                 gamma,
                 key,
             ) = state
+            live = i < cycles
+
+            key, k_train = jax.random.split(key)
+            variables, opt_state = train_vae(
+                variables, opt_state, pool_tokens, pool_w, n_pool, k_train
+            )
+            vae_0 = jax.tree.map(
+                lambda new, old: jnp.where(i == 0, new, old), variables, vae_0
+            )  # snapshot (reference :125-144)
 
             # Decode one latent draw into a PWM; Boltzmann-sample novel
             # sequences at escalating temperature (reference :153-187 via
@@ -500,7 +514,9 @@ def run_cbas_nam(
             # cycle (host `seen`), plus in-batch first-occurrence dedup.
             def cond(state):
                 _, _, n_prop, _, t, _ = state
-                return (n_prop < cycle_batch_size) & (t < 200)
+                # `live` (closed-over scan tracer) short-circuits the whole
+                # sampling loop on the final train-only iteration.
+                return (n_prop < cycle_batch_size) & (t < 200) & live
 
             def body(state):
                 prop, prop_pk, n_prop, key, t, rej = state
@@ -546,19 +562,27 @@ def run_cbas_nam(
                 (prop, prop_pk, jnp.int32(0), key, jnp.int32(0), jnp.int32(0)),
             )
             proposals = prop[:cycle_batch_size]
-            valid = jnp.arange(cycle_batch_size) < n_prop
+            valid = (jnp.arange(cycle_batch_size) < n_prop) & live
 
             key, k_nam = jax.random.split(key)
             cache, costs, scores, _ = nam_query(
                 cache, costs, proposals, valid, k_nam, surr
             )
-            gamma = jnp.maximum(_masked_percentile(scores, valid, Q), gamma)
+            gamma = jnp.where(
+                jnp.any(valid),
+                jnp.maximum(_masked_percentile(scores, valid, Q), gamma),
+                gamma,
+            )
 
             if algo == "cbas":
                 x = one_hot_flat(proposals)
-                logp0 = log_probability(vae_0, x)
-                logpt = log_probability(variables, x)
-                weights = jnp.nan_to_num(jnp.exp(logp0 - logpt))
+                # One vmapped apply over the stacked (vae_0, live) params —
+                # two separate calls would emit the VAE forward twice.
+                both = jax.tree.map(
+                    lambda a, b: jnp.stack([a, b]), vae_0, variables
+                )
+                logp = jax.vmap(log_probability, in_axes=(0, None))(both, x)
+                weights = jnp.nan_to_num(jnp.exp(logp[0] - logp[1]))
             else:
                 weights = jnp.ones((cycle_batch_size,), jnp.float32)
             weights = jnp.where((scores >= gamma) & valid, weights, 0.0)
@@ -572,11 +596,6 @@ def run_cbas_nam(
                 aux_rows=(prop_pk[:cycle_batch_size], weights),
             )
 
-            key, k_train = jax.random.split(key)
-            variables, opt_state = train_vae(
-                variables, opt_state, pool_tokens, pool_w, n_pool, k_train
-            )
-
             gen_tokens, _, n_gen, (gen_preds,) = _masked_append(
                 gen_tokens, proposals, n_gen, valid,
                 aux_bufs=(gen_preds,), aux_rows=(scores,),
@@ -584,6 +603,7 @@ def run_cbas_nam(
             return (
                 variables,
                 opt_state,
+                vae_0,
                 pool_tokens,
                 pool_pk,
                 pool_w,
@@ -600,6 +620,7 @@ def run_cbas_nam(
         state = (
             variables,
             opt_state,
+            variables,  # vae_0 placeholder; overwritten at i == 0
             pool_tokens,
             pool_pk,
             pool_w,
@@ -612,10 +633,11 @@ def run_cbas_nam(
             gamma,
             key,
         )
-        state, _ = jax.lax.scan(cycle, state, None, length=cycles)
+        state, _ = jax.lax.scan(cycle, state, jnp.arange(cycles + 1))
         (
             variables,
             opt_state,
+            _,
             _,
             _,
             _,
