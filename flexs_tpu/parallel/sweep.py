@@ -388,15 +388,30 @@ def _init_checkpoint_dir(checkpoint_dir: str, signature: str) -> None:
         os.replace(tmp, manifest)
 
 
-@partial(jax.jit, static_argnames=("cfg", "fitness_fn", "cell_fn", "mesh"))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "fitness_fn", "cell_fn", "mesh", "cell_mode"),
+)
 def _sweep_generic_impl(
     stacked_params, start_tokens, signal_strengths, keys, cfg, fitness_fn,
-    cell_fn, mesh=None,
+    cell_fn, mesh=None, cell_mode="vmap",
 ):
     def vmapped(stacked_params, start_tokens, signal_strengths, keys):
         def one_cell(params, start, ss, key):
             return cell_fn(fitness_fn, params, start, cfg, ss, key)
 
+        if cell_mode == "map":
+            # Sequential cells (lax.map = scan): each cell's while_loops
+            # run their OWN trip counts.  vmap locksteps every data-
+            # dependent loop across cells, so each round's generation
+            # loop costs the max trips over the whole shard — measured
+            # 1.9-2.3x per-cell inflation on surrogate sweeps
+            # (BASELINE.md round-4 surrogate-sweep A/B table), whose
+            # fixed-cost training part is too small to amortize it.
+            return jax.lax.map(
+                lambda args: one_cell(*args),
+                (stacked_params, start_tokens, signal_strengths, keys),
+            )
         return jax.vmap(one_cell)(
             stacked_params, start_tokens, signal_strengths, keys
         )
@@ -431,6 +446,7 @@ def run_landscape_robustness_sweep(
     model: str = "nam",
     surrogate_spec=None,
     checkpoint_dir: Optional[str] = None,
+    cell_mode: str = "auto",
 ) -> pd.DataFrame:
     """Robustness sweep over ANY family of device-fitness landscapes.
 
@@ -462,7 +478,23 @@ def run_landscape_robustness_sweep(
     long surrogate sweeps.  Single-host feature: with multiple JAX
     processes only process 0 writes (all processes must share the
     filesystem to benefit from resume).
+
+    `cell_mode` schedules the cells *within* each device's shard:
+    "vmap" locksteps them (best when per-cell device buffers dominate,
+    e.g. NAM sweeps, whose full-batch fitness calls batch across cells),
+    "map" runs them sequentially via `lax.map` so each cell's
+    data-dependent `while_loop`s run their OWN trip counts — under vmap
+    every loop costs the max trips over the whole shard, measured
+    1.9-2.3x per-cell inflation on surrogate sweeps (round-4 A/B table
+    in BASELINE.md).  "auto" (default) picks "map" for
+    model="surrogate" and "vmap" otherwise.  Scores are bit-identical
+    across modes (pinned in tests/test_sweep.py); only the schedule
+    changes.
     """
+    if cell_mode == "auto":
+        cell_mode = "map" if model == "surrogate" else "vmap"
+    if cell_mode not in ("vmap", "map"):
+        raise ValueError("cell_mode must be 'auto', 'vmap' or 'map'")
     alpha: Alphabet = as_alphabet(alphabet)
     fns_params = [land.device_fitness() for land in landscapes]
     fitness_fn = fns_params[0][0]
@@ -568,7 +600,9 @@ def run_landscape_robustness_sweep(
         if mesh is not None:
             sharding = NamedSharding(mesh, P(mesh.axis_names))
             args = jax.tree.map(lambda x: jax.device_put(x, sharding), args)
-        out = _sweep_generic_impl(*args, cfg, fitness_fn, cell_fn, mesh)
+        out = _sweep_generic_impl(
+            *args, cfg, fitness_fn, cell_fn, mesh, cell_mode
+        )
         # Gather to host numpy BEFORE slicing: on a multi-host mesh the
         # device arrays are not fully addressable, and uneven slices would
         # break the sharding anyway.
@@ -712,6 +746,7 @@ def run_robustness_sweep(
     model: str = "nam",
     surrogate_spec=None,
     checkpoint_dir: Optional[str] = None,
+    cell_mode: str = "auto",
 ) -> pd.DataFrame:
     """Robustness evaluator over TF-binding landscapes as one sharded sweep.
 
@@ -729,11 +764,14 @@ def run_robustness_sweep(
     """
     from flexs_tpu.landscapes import tf_binding
 
+    if cell_mode == "auto":
+        cell_mode = "map" if model == "surrogate" else "vmap"
     if (
         algorithm != "adalead"
         or algorithm_kwargs
         or model != "nam"
         or checkpoint_dir is not None
+        or cell_mode != "vmap"
     ):
         lands = []
         for n in landscape_names:
@@ -756,6 +794,7 @@ def run_robustness_sweep(
             model=model,
             surrogate_spec=surrogate_spec,
             checkpoint_dir=checkpoint_dir,
+            cell_mode=cell_mode,
         )
 
     alpha: Alphabet = as_alphabet(alphabet)

@@ -133,3 +133,26 @@ def test_efficiency_sweep_algorithm_passthrough():
     )
     assert len(df) == 1
     assert (df["max_fitness"] >= df["start_fitness"]).all()
+
+
+def test_cell_mode_map_matches_vmap(mesh):
+    """lax.map cells (round-4 lockstep fix) score identically to vmap.
+
+    The sequential mode exists because vmap locksteps every cell's
+    data-dependent while_loops to the max trip count across the shard
+    (measured 1.9-2.3x per-cell inflation on surrogate sweeps,
+    BASELINE.md round-4 A/B table); the numbers must not change, only
+    the schedule.
+    """
+    a = _sweep(algorithm="ga", cell_mode="vmap")
+    b = _sweep(algorithm="ga", cell_mode="map")
+    np.testing.assert_allclose(
+        a["max_fitness"].to_numpy(), b["max_fitness"].to_numpy()
+    )
+    np.testing.assert_array_equal(
+        a["model_cost"].to_numpy(), b["model_cost"].to_numpy()
+    )
+    c = _sweep(algorithm="ga", cell_mode="map", mesh=mesh)
+    np.testing.assert_allclose(
+        a["max_fitness"].to_numpy(), c["max_fitness"].to_numpy()
+    )
