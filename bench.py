@@ -95,6 +95,55 @@ def run_sweep(n_landscapes: int = 40):
     return walls, seqs, mean_max, cells
 
 
+def run_surrogate_sweep():
+    """Trained-surrogate sweep per-cell latency (VERDICT r3 weak #1).
+
+    20 Rosetta-CNN-Adalead cells (5 starts x 4 seeds, full paper-config
+    runs with an in-program CNN retrained every round).  Round 4's
+    `cell_mode="auto"` schedules these via sequential `lax.map` cells —
+    vmap locksteps each cell's data-dependent generation while_loops to
+    the max trip count across the shard (measured 1.86x per-cell
+    inflation; A/B table in BASELINE.md).  Target: per-cell <= the
+    0.21 s single-run steady state.
+    """
+    import flexs_tpu as flexs
+    from flexs_tpu.landscapes import rosetta
+    from flexs_tpu.parallel import run_landscape_robustness_sweep
+    from flexs_tpu.runtime.surrogate import SurrogateSpec
+
+    problem = rosetta.registry()["3msi"]
+    landscape = rosetta.RosettaFolding(**problem["params"])
+    kw = dict(
+        starts=list(problem["starts"].values()),
+        signal_strengths=[1.0],
+        seeds=[0, 1, 2, 3],
+        rounds=10,
+        sequences_batch_size=100,
+        model_queries_per_batch=2000,
+        model="surrogate",
+        surrogate_spec=SurrogateSpec(),
+    )
+    # Warm with the SAME cell-count shape (a different batch dimension is
+    # a different compiled program).
+    run_landscape_robustness_sweep([landscape], flexs.AAS, **kw)
+    walls, mean_max, cells = [], 0.0, 0
+    for _ in range(3):
+        t0 = time.time()
+        df = run_landscape_robustness_sweep([landscape], flexs.AAS, **kw)
+        walls.append(time.time() - t0)
+        mean_max = float(df["max_fitness"].mean())
+        cells = len(df)
+    med, spread = med_spread(walls)
+    return {
+        "surrogate_sweep_s_per_cell": round(med / cells, 4),
+        "surrogate_sweep_s_per_cell_spread": [
+            round(spread[0] / cells, 4), round(spread[1] / cells, 4)
+        ],
+        "surrogate_sweep_cells": cells,
+        "surrogate_sweep_mean_max_fitness": round(mean_max, 4),
+    }
+
+
 def run_eval_sweeps():
     """Efficiency/adaptivity evaluator throughput (VERDICT r2 weak #6).
 
@@ -263,6 +312,7 @@ def main():
     sweep_sps = sweep_seqs / sweep_wall
 
     eval_metrics = run_eval_sweeps()
+    surr_metrics = run_surrogate_sweep()
 
     rna_sps, rna_spread, pallas_bitexact = run_rna_oracle()
 
@@ -296,6 +346,7 @@ def main():
                 "rna_oracle_L100_seqs_per_sec_spread": rna_spread,
                 "pallas_bitexact_vs_xla": pallas_bitexact,
                 **eval_metrics,
+                **surr_metrics,
             }
         )
     )
