@@ -55,6 +55,14 @@ def main():
     parser.add_argument("--starts", type=int, default=5)
     parser.add_argument("--rounds", type=int, default=10)
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument(
+        "--env-batch", type=int, default=16,
+        help="constructive-DynaPPO parallel episodes per collect step "
+        "(a pure batching knob over our already-documented batched-env "
+        "deviation: budgets and PPO semantics are unchanged, but each "
+        "act/step relay round-trip advances this many episodes — the "
+        "host loop is dispatch-latency-bound through the TPU relay)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -119,7 +127,8 @@ def main():
             )
         if name == "dynappo":
             return ex.DynaPPO(
-                landscape, starting_sequence=start, env_batch_size=16, seed=0, **common
+                landscape, starting_sequence=start,
+                env_batch_size=args.env_batch, seed=0, **common
             )
         if name == "dqn":
             return ex.DQN(model, starting_sequence=start, seed=0, **common)
