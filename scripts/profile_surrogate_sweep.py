@@ -21,6 +21,19 @@ Hypotheses measured here (each row is a median-of-3 steady-state time):
   h5  ensemble_size=3 single run — a vmap over members inside ONE run is
       the same batched-filter conv shape; if members cost ~nothing extra
       per member, the vmap axis itself is innocent
+  h6  20 IDENTICAL cells (same start, same seed -> identical while-loop
+      trip counts) under vmap — if this hits ~single-run cost, the
+      regression is vmap LOCKSTEPPING the data-dependent generation
+      loops: every cell pays the max trip count over the whole shard
+  h7  the shipped mixed grid with sequential `lax.map` cells
+      (cell_mode="map") — each cell runs its own trip counts; this is
+      the shipped fix (cell_mode="auto")
+
+Round-4 measured outcome (BASELINE.md table): h0 0.219 s, h1 0.205 s/cell,
+h2 0.381 s/cell, h3 mlp 2.29x (conv hypothesis dead), h4 0.451 s/cell
+(training-cost hypothesis dead), h5 0.273 s (member-vmap cheap), h6
+0.193 s/cell (lockstep CONFIRMED), h7 0.207 s/cell (fix at single-run
+parity).
 
 Run on the real TPU (one process at a time):
     python scripts/profile_surrogate_sweep.py h0 h2 ...
@@ -72,22 +85,26 @@ def _single(spec, start=0):
     return explorer
 
 
-def _sweep(spec, cells=20):
+def _sweep(spec, cells=20, starts=None, seeds=None, cell_mode="vmap"):
     land = _landscape()
-    n_seeds = -(-cells // len(STARTS))
+    if starts is None:
+        starts = STARTS[: min(cells, len(STARTS))]
+    if seeds is None:
+        seeds = list(range(-(-cells // len(starts))))
 
     def run():
         return run_landscape_robustness_sweep(
             [land],
             flexs.AAS,
-            starts=STARTS[: min(cells, len(STARTS))],
+            starts=starts,
             signal_strengths=[1.0],
-            seeds=list(range(n_seeds)),
+            seeds=seeds,
             rounds=10,
             sequences_batch_size=100,
             model_queries_per_batch=2000,
             model="surrogate",
             surrogate_spec=spec,
+            cell_mode=cell_mode,
         )
 
     return run
@@ -140,7 +157,30 @@ def h5():
     print(f"h5 single 3xCNN run:      {med:.3f}s  {['%.2f' % w for w in walls]}")
 
 
-STEPS = {"h0": h0, "h1": h1, "h2": h2, "h3": h3, "h4": h4, "h5": h5}
+def h6():
+    # 20 IDENTICAL cells: same start, same seed -> identical trip counts
+    # -> lockstep costs nothing.  ~single-run cost here convicts lockstep.
+    med, walls = _median3(
+        _sweep(SurrogateSpec(), starts=[STARTS[0]], seeds=[0] * 20)
+    )
+    print(
+        f"h6 20 IDENTICAL cells (vmap): {med:.2f}s = {med/20:.3f}s/cell  "
+        f"{['%.2f' % w for w in walls]}"
+    )
+
+
+def h7():
+    med, walls = _median3(_sweep(SurrogateSpec(), cell_mode="map"))
+    print(
+        f"h7 shipped grid, lax.map:     {med:.2f}s = {med/20:.3f}s/cell  "
+        f"{['%.2f' % w for w in walls]}"
+    )
+
+
+STEPS = {
+    "h0": h0, "h1": h1, "h2": h2, "h3": h3, "h4": h4, "h5": h5,
+    "h6": h6, "h7": h7,
+}
 
 if __name__ == "__main__":
     import jax
