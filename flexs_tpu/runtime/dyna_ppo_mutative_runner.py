@@ -25,7 +25,12 @@ Episode semantics (reference environments/dyna_ppo.py:166-336):
   * otherwise the mutant is scored (1 query: landscape in the experiment
     phase, model in model phases), recorded in the density cache, and
     reward = fitness - 0.1 * density(seq) over all seen sequences within
-    Hamming distance 2;
+    HAMMING distance 2 — a documented deviation from the reference's
+    exact `editdistance.eval` radius (which the host env matches via
+    ops.hamming.banded_edit_distance_matrix): this walk pays a density
+    lookup EVERY mutation step (~2000/round), so the packed XOR+popcount
+    distance is what keeps the fused walk at 4.8 s/run; equal-length
+    Hamming and Levenshtein differ only on block-shift-by-one pairs;
   * revisiting a sequence within the same episode terminates with
     reward -1; a reward below the previous step's terminates the episode
     with that reward; episode reset scores the seed through the MODEL

@@ -18,12 +18,20 @@ Structure per round (reference dyna_ppo.py:250-307):
     scored on the surrogate; PPO trains after each phase; sequences
     recorded (deduplicated, last fitness wins);
   * reward = fitness - 0.1 * density, density = sum of fitness/d over all
-    previously seen sequences within Hamming distance 2 (the env's
-    sequence-density cache, environments/dyna_ppo.py:33-67), computed
-    BEFORE the batch joins the cache — a documented deviation shared with
-    the host port: the reference updates all_seqs first (environments/
+    previously seen sequences within distance 2 (the env's
+    sequence-density cache, environments/dyna_ppo.py:33-67).  Two
+    documented deviations: (a) the density radius here is HAMMING, not
+    the exact Levenshtein the reference's `editdistance.eval` computes
+    and the host env now matches (ops.hamming.banded_edit_distance_matrix)
+    — for the equal-length sequences every FLEXS problem generates they
+    differ only when a pair is a block-shift-by-one (one del + one ins),
+    and keeping the density on the packed XOR+popcount path is what lets
+    the in-program cache scale (an exact banded DP costs ~20x per lookup
+    and this runner's measured quality is already at 1.000/1.000,
+    BASELINE.md); (b) densities are computed BEFORE the batch joins the
+    cache — the reference updates all_seqs first (environments/
     dyna_ppo.py:142-163 upstream), so same-batch neighbors penalize each
-    other there and not here;
+    other there and not here (shared with the host port);
   * proposals: top `sequences_batch_size` recorded model-phase sequences
     by recorded fitness, novel vs measured.
 
