@@ -121,6 +121,130 @@ def _ref_zuker(tokens, t, min_h=3):
     return min(W[L], 0.0)
 
 
+def _enumerate_structures(seq, PT, min_h=3):
+    """Yield every nested pairing of `seq` as a list of (i, j) pairs.
+
+    Explicit exhaustive enumeration (exponential — small L only): at each
+    position either leave i unpaired or pair it with any legal k, then
+    recurse independently inside and after the pair.  This enumerates
+    STRUCTURES, not DP states, so agreement with the DP validates the
+    recurrences themselves, not a shared decomposition.
+    """
+    L = len(seq)
+
+    def gen(i, j):  # region [i, j] inclusive
+        if i > j:
+            yield []
+            return
+        yield from gen(i + 1, j)  # i unpaired
+        for k in range(i + min_h + 1, j + 1):
+            if PT[seq[i], seq[k]] > 0:
+                for inner in gen(i + 1, k - 1):
+                    for outer in gen(k + 1, j):
+                        yield [(i, k)] + inner + outer
+
+    yield from gen(0, L - 1)
+
+
+def _structure_energy(seq, pairs, t, min_h=3):
+    """Loop-decomposed Turner energy of one explicit nested structure.
+
+    Mirrors the energy MODEL (the spec both DPs implement): hairpin curve
+    + closing mismatch, stack/bulge/1x1/generic-interior two-loops bounded
+    by maxloop, affine multiloops with per-branch terminal-AU, free
+    external loop with terminal-AU per branch.  Structures containing a
+    two-loop wider than maxloop are outside the model (+inf).
+    """
+    PT = rna_duplex.PAIR_TABLE
+    WEAK = rna_duplex.WEAK_PAIR
+    REV = rna_fold._REV_PT
+    au = t["term_au"]
+    ml_a, ml_b, ml_c = (
+        rna_fold.ML_CLOSING, rna_fold.ML_BRANCH, rna_fold.ML_UNPAIRED,
+    )
+    maxloop = t["maxloop"]
+    max_bulge = len(t["bulge"]) - 1
+    pairs = sorted(pairs)
+
+    def children_of(i, j):
+        out, k = [], i + 1
+        inside = [p for p in pairs if i < p[0] and p[1] < j]
+        while inside:
+            first = min(inside)
+            out.append(first)
+            inside = [p for p in inside if p[0] > first[1]]
+        return out
+
+    total = 0.0
+    for (i, j) in pairs:
+        p = PT[seq[i], seq[j]]
+        cs = children_of(i, j)
+        if not cs:
+            size = j - i - 1
+            mm = (
+                t["mA"][p, seq[i + 1], seq[j - 1]]
+                if size > min_h
+                else au * WEAK[p]
+            )
+            total += t["hairpin"][size] + mm
+        elif len(cs) == 1:
+            k, l = cs[0]
+            d1, d2 = k - i - 1, j - l - 1
+            q = PT[seq[k], seq[l]]
+            if d1 + d2 > maxloop:
+                return _INF
+            if d1 == 0 and d2 == 0:
+                total += t["stack"][p, q]
+            elif d1 == 0 or d2 == 0:
+                b = max(d1, d2)
+                total += t["bulge"][min(b, max_bulge)] + (
+                    t["stack"][p, q] if b == 1 else au * (WEAK[p] + WEAK[q])
+                )
+            elif d1 == 1 and d2 == 1:
+                total += t["int11"][p, REV[q], seq[i + 1], seq[j - 1]]
+            else:
+                total += (
+                    t["interior_cost"][d1 + 1, d2 + 1]
+                    + t["mA"][p, seq[i + 1], seq[j - 1]]
+                    + t["mB"][REV[q], seq[l + 1], seq[k - 1]]
+                )
+        else:
+            unpaired = (j - i - 1) - sum(l - k + 1 for (k, l) in cs)
+            total += ml_a + ml_b + au * WEAK[p] + ml_c * unpaired
+            for (k, l) in cs:
+                total += ml_b + au * WEAK[PT[seq[k], seq[l]]]
+    # External loop: each top-level branch pays its terminal-AU.
+    enclosed = set()
+    for (i, j) in pairs:
+        for (k, l) in pairs:
+            if i < k and l < j:
+                enclosed.add((k, l))
+    for (i, j) in pairs:
+        if (i, j) not in enclosed:
+            total += au * WEAK[PT[seq[i], seq[j]]]
+    return total
+
+
+@pytest.mark.parametrize("L,seed", [(8, 0), (10, 1), (11, 2), (12, 3)])
+def test_device_dp_matches_exhaustive_enumeration(L, seed):
+    """Ground-truth anchor: the DP equals a brute-force min over EVERY
+    nested structure's loop-decomposed energy (plus the empty structure)."""
+    rng = np.random.default_rng(seed)
+    em = rna_fold.fold_energy_model()
+    t = _tables()
+    rows = rng.integers(0, 4, size=(3, L)).astype(np.int32)
+    # One structured row per length so the min isn't always 0.
+    rows[0, : L // 2] = _RNA.encode_one("G" * (L // 2))
+    rows[0, L // 2:] = _RNA.encode_one("C" * (L - L // 2))
+    got = np.asarray(rna_fold.zuker_mfe_batch(rows, em))
+    for row, g in zip(rows, got):
+        best = 0.0
+        for pairs in _enumerate_structures(list(row), rna_duplex.PAIR_TABLE):
+            if pairs:
+                best = min(best, _structure_energy(list(row), pairs, t))
+        assert g == pytest.approx(best, abs=2e-4), (row, g, best)
+
+
 def _mfe(seq: str) -> float:
     em = rna_fold.fold_energy_model()
     tok = _RNA.encode([seq])
