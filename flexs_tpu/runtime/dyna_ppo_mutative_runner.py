@@ -32,7 +32,9 @@ Episode semantics (reference environments/dyna_ppo.py:166-336):
     distance is what keeps the fused walk at 4.8 s/run; equal-length
     Hamming and Levenshtein differ only on block-shift-by-one pairs —
     measured at 8e-6 per pair on L=14 RNA mutation walks and 0 on every
-    protein pool (scripts/measure_density_deviation.py);
+    protein pool (scripts/measure_density_deviation.py).  Callers who
+    want full reference parity anyway can pass density_metric="edit"
+    (exact banded Levenshtein inside the program, at that per-step cost);
   * revisiting a sequence within the same episode terminates with
     reward -1; a reward below the previous step's terminates the episode
     with that reward; episode reset scores the seed through the MODEL
@@ -65,6 +67,7 @@ import pandas as pd
 
 from flexs_tpu.alphabet import Alphabet, as_alphabet
 from flexs_tpu.ops import packed_hamming
+from flexs_tpu.runtime.dyna_ppo_runner import _edit_density
 from flexs_tpu.rl.ppo import ActorCritic
 from flexs_tpu.runtime import jit_runner
 from flexs_tpu.runtime.jit_runner import (
@@ -87,6 +90,7 @@ _LAM = 0.1  # density penalty (reference environments/dyna_ppo.py:219)
         "episode_len",
         "num_model_rounds",
         "train_epochs",
+        "density_metric",
     ),
 )
 def run_dyna_ppo_mutative_nam(
@@ -106,8 +110,18 @@ def run_dyna_ppo_mutative_nam(
     clip_eps: float = 0.2,
     value_coef: float = 0.5,
     entropy_coef: float = 0.01,
+    density_metric: str = "hamming",
 ) -> RunResult:
-    """Run a full mutative DynaPPO + NAM experiment on device."""
+    """Run a full mutative DynaPPO + NAM experiment on device.
+
+    `density_metric`: "hamming" (default — the documented fast radius,
+    see module docstring) or "edit" (the reference's exact Levenshtein
+    via the banded DP; this walk pays one density lookup per mutation
+    step, so expect the documented ~20x density-segment cost).
+    """
+    if density_metric not in ("hamming", "edit"):
+        raise ValueError("density_metric must be 'hamming' or 'edit'")
+    use_edit = density_metric == "edit"
     if cfg.surrogate is not None:
         raise ValueError(
             "DynaPPO trains its own internal model ensemble (the r^2-gated "
@@ -213,13 +227,23 @@ def run_dyna_ppo_mutative_nam(
             values,
         )
 
-    def density_of(den_pk, den_fit, n_den, pk):
+    def density_of(den, tokens, pk):
+        if use_edit:
+            _, den_fit, n_den, den_tokens = den
+            return _edit_density(tokens, den_tokens, den_fit, n_den)
+        den_pk, den_fit, n_den = den
         d = _dists_to_cache(pk, den_pk, n_den, bits, per_word)
         w = jnp.where((d > 0) & (d <= 2), 1.0 / jnp.maximum(d, 1.0), 0.0)
         return w @ jnp.nan_to_num(den_fit)
 
-    def den_upsert(den_pk, den_fit, n_den, pk, fit, mask):
-        """all_seqs[seq] = fitness for masked rows (last write wins)."""
+    def den_upsert(den, pk, tokens, fit, mask):
+        """all_seqs[seq] = fitness for masked rows (last write wins).
+
+        Exact-match identity is metric-free, so the upsert stays on the
+        packed codes in both density modes; "edit" mode just carries the
+        raw token rows alongside for its banded-DP lookups.
+        """
+        den_pk, den_fit, n_den = den[:3]
         d = _dists_to_cache(pk, den_pk, n_den, bits, per_word)
         exists = (jnp.min(d, axis=1) == 0)
         at = jnp.argmin(d, axis=1)
@@ -231,6 +255,12 @@ def run_dyna_ppo_mutative_nam(
         dup = jnp.any(eq & jnp.tril(jnp.ones_like(eq, dtype=bool), k=-1)
                       & mask[None, :], axis=1)
         insert = mask & ~exists & ~dup
+        if use_edit:
+            den_pk2, _, n_den, (den_fit2, den_tokens2) = _masked_append(
+                den_pk, pk, n_den, insert,
+                aux_bufs=(den_fit, den[3]), aux_rows=(fit, tokens),
+            )
+            return den_pk2, den_fit2, n_den, den_tokens2
         den_pk2, _, n_den, (den_fit2,) = _masked_append(
             den_pk, pk, n_den, insert, aux_bufs=(den_fit,), aux_rows=(fit,),
         )
@@ -263,8 +293,6 @@ def run_dyna_ppo_mutative_nam(
         Trajectory arrays are [T, E]: per-step tokens-before-action are
         returned as [T, E, L] for training-obs reconstruction.
         """
-        den_pk, den_fit, n_den = den
-
         # Episode reset: seed fitness through the MODEL (one model query
         # per lane, environments/dyna_ppo.py:243-252).
         key, k_reset = jax.random.split(key)
@@ -280,7 +308,7 @@ def run_dyna_ppo_mutative_nam(
 
         def step_t(carry, t):
             (tokens, fitness, prev_reward, alive, ep_pk, cache, costs,
-             den_pk, den_fit, n_den, key) = carry
+             den, key) = carry
 
             obs = one_hot_obs(tokens)
             logits, value = net.apply(policy, normalize(obs_stats, obs))
@@ -309,10 +337,8 @@ def run_dyna_ppo_mutative_nam(
                 )
             new_fitness = jnp.where(do_score, fit_q, fitness)
 
-            density = density_of(den_pk, den_fit, n_den, new_pk)
-            den_pk, den_fit, n_den = den_upsert(
-                den_pk, den_fit, n_den, new_pk, new_fitness, do_score
-            )
+            density = density_of(den, new_tokens, new_pk)
+            den = den_upsert(den, new_pk, new_tokens, new_fitness, do_score)
 
             reward_val = new_fitness - _LAM * density
 
@@ -338,20 +364,16 @@ def run_dyna_ppo_mutative_nam(
             out = (tokens, action, logp, value, reward, valid, done & alive)
             return (
                 new_tokens, new_fitness, prev_reward, new_alive, ep_pk,
-                cache, costs, den_pk, den_fit, n_den, key,
+                cache, costs, den, key,
             ), out
 
         init = (
             seeds, seed_fit, jnp.full((E,), -jnp.inf, jnp.float32),
-            jnp.ones((E,), bool), ep_pk0, cache, costs,
-            den_pk, den_fit, n_den, key,
+            jnp.ones((E,), bool), ep_pk0, cache, costs, den, key,
         )
         (final_tokens, final_fit, _, _, _, cache, costs,
-         den_pk, den_fit, n_den, key), traj = jax.lax.scan(
-            step_t, init, jnp.arange(T)
-        )
-        return (traj, final_tokens, final_fit, cache, costs,
-                (den_pk, den_fit, n_den), key)
+         den, key), traj = jax.lax.scan(step_t, init, jnp.arange(T))
+        return (traj, final_tokens, final_fit, cache, costs, den, key)
 
     # --- PPO training on a fixed-capacity phase buffer ----------------------
     def ppo_train(policy, opt_state, obs_stats, buf, n_batches):
@@ -582,6 +604,8 @@ def run_dyna_ppo_mutative_nam(
         jnp.zeros((den_cap,), jnp.float32),
         jnp.int32(0),
     )
+    if use_edit:
+        den = den + (jnp.zeros((den_cap, L), jnp.int32),)
 
     key, init_key = jax.random.split(key)
     policy = net.init(init_key, jnp.zeros((1, obs_dim), jnp.float32))
@@ -726,8 +750,13 @@ class DeviceDynaPPOMutativeNAM:
         signal_strength: float = 0.9,
         model: str = "nam",
         seed: int = 0,
+        density_metric: str = "hamming",
     ):
-        """Create the fused mutative DynaPPO runner for `landscape`."""
+        """Create the fused mutative DynaPPO runner for `landscape`.
+
+        `density_metric`: "hamming" (default fast radius) or "edit"
+        (exact reference Levenshtein; see `run_dyna_ppo_mutative_nam`).
+        """
         if model not in ("nam", "perfect"):
             raise ValueError("model must be 'nam' or 'perfect'")
         self.landscape = landscape
@@ -738,6 +767,7 @@ class DeviceDynaPPOMutativeNAM:
         self.episode_len = episode_len
         self.num_model_rounds = num_model_rounds
         self.train_epochs = train_epochs
+        self.density_metric = density_metric
         self.seed = seed
         self.name = f"DeviceDynaPPOMutative_Agent_10_{num_model_rounds}"
         self.model_name = (
@@ -772,6 +802,7 @@ class DeviceDynaPPOMutativeNAM:
             episode_len=self.episode_len,
             num_model_rounds=self.num_model_rounds,
             train_epochs=self.train_epochs,
+            density_metric=self.density_metric,
         )
         result = fetch_run_result(result)
         self.landscape.add_cost(int(result.landscape_cost[-1]))

@@ -31,7 +31,10 @@ Structure per round (reference dyna_ppo.py:250-307):
     BASELINE.md).  Measured disagreement rate of the two metrics inside
     the radius (scripts/measure_density_deviation.py, 131k pairs per
     pool): 0 on every protein pool and every L=100 walk; worst case
-    9e-4 per pair on L=14 repetitive constructive batches;
+    9e-4 per pair on L=14 repetitive constructive batches.  Callers who
+    want full reference parity anyway can pass density_metric="edit"
+    (exact banded Levenshtein inside the program, at the documented
+    per-lookup cost);
     (b) densities are computed BEFORE the batch joins the
     cache — the reference updates all_seqs first (environments/
     dyna_ppo.py:142-163 upstream), so same-batch neighbors penalize each
@@ -62,6 +65,7 @@ import pandas as pd
 
 from flexs_tpu.alphabet import Alphabet, as_alphabet
 from flexs_tpu.ops import packed_hamming
+from flexs_tpu.ops.hamming import banded_edit_distance_matrix
 from flexs_tpu.rl.ppo import ActorCritic
 from flexs_tpu.runtime import jit_runner
 from flexs_tpu.runtime.jit_runner import (
@@ -75,6 +79,21 @@ from flexs_tpu.runtime.jit_runner import (
 _LAM = 0.1  # density penalty (reference environments/dyna_ppo.py)
 
 
+def _edit_density(tokens, den_tokens, den_fit, n_den):
+    """Density over the cache via exact banded Levenshtein (<=2 radius).
+
+    The reference semantics (environments/dyna_ppo.py:106-114): sum of
+    fitness/d over cached sequences with 0 < editdistance <= 2.  Dead
+    rows are masked explicitly — the trash row (_masked_append)
+    accumulates dropped fitnesses, so distance alone can't gate.
+    Shared by both fused DynaPPO runners' density_metric="edit" mode.
+    """
+    d = banded_edit_distance_matrix(tokens, den_tokens, band=2)
+    live = jnp.arange(den_tokens.shape[0])[None, :] < n_den
+    w = jnp.where(live & (d > 0) & (d <= 2), 1.0 / jnp.maximum(d, 1), 0.0)
+    return w @ jnp.nan_to_num(den_fit)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -83,6 +102,7 @@ _LAM = 0.1  # density penalty (reference environments/dyna_ppo.py)
         "env_batch_size",
         "num_model_rounds",
         "train_epochs",
+        "density_metric",
     ),
 )
 def run_dyna_ppo_nam(
@@ -101,8 +121,20 @@ def run_dyna_ppo_nam(
     clip_eps: float = 0.2,
     value_coef: float = 0.5,
     entropy_coef: float = 0.01,
+    density_metric: str = "hamming",
 ) -> RunResult:
-    """Run a full constructive DynaPPO + NAM experiment on device."""
+    """Run a full constructive DynaPPO + NAM experiment on device.
+
+    `density_metric` selects the distance inside the density reward's
+    <=2 radius: "hamming" (default — the documented fast deviation, see
+    the module docstring) or "edit", the reference's exact Levenshtein
+    via a banded DP (ops.hamming.banded_edit_distance_matrix) for full
+    parity with reference environments/dyna_ppo.py:106-114 at ~20x the
+    per-lookup cost.
+    """
+    if density_metric not in ("hamming", "edit"):
+        raise ValueError("density_metric must be 'hamming' or 'edit'")
+    use_edit = density_metric == "edit"
     if cfg.surrogate is not None:
         raise ValueError(
             "DynaPPO trains its own internal model ensemble (the r^2-gated "
@@ -268,10 +300,29 @@ def run_dyna_ppo_nam(
         )
         return tokens, actions, logps, values, key
 
-    def density_of(den_pk, den_fit, n_den, pk):
+    def density_of(den, tokens, pk):
+        if use_edit:
+            _, den_fit, n_den, den_tokens = den
+            return _edit_density(tokens, den_tokens, den_fit, n_den)
+        den_pk, den_fit, n_den = den
         d = _dists_to_cache(pk, den_pk, n_den, bits, per_word)
         w = jnp.where((d > 0) & (d <= 2), 1.0 / jnp.maximum(d, 1.0), 0.0)
         return w @ jnp.nan_to_num(den_fit)
+
+    def den_update(den, pk, tokens, fitness):
+        """all_seqs[seq] = fitness (exact-match upsert is metric-free)."""
+        if use_edit:
+            den_pk, den_fit, n_den, den_tokens = den
+            den_pk, den_fit, n_den, pos, _ = upsert(
+                den_pk, den_fit, n_den, pk, fitness
+            )
+            # pos routes existing rows to their slot (identical tokens,
+            # idempotent) and dropped duplicates to the trash row.
+            den_tokens = den_tokens.at[pos].set(tokens, mode="drop")
+            return (den_pk, den_fit, n_den, den_tokens)
+        den_pk, den_fit, n_den = den
+        den_pk, den_fit, n_den, _, _ = upsert(den_pk, den_fit, n_den, pk, fitness)
+        return (den_pk, den_fit, n_den)
 
     # --- PPO training (full-batch via chunked grad accumulation) -------------
     def ppo_train(policy, opt_state, obs_stats, ep_tokens, actions, logps,
@@ -399,7 +450,6 @@ def run_dyna_ppo_nam(
 
         def collect(carry, _):
             cache, costs, den, gen, key = carry
-            den_pk, den_fit, n_den = den
             key, k_ep = jax.random.split(key)
             tokens, actions, logps, values, key = episode_batch(
                 policy, obs_stats, k_ep
@@ -414,10 +464,8 @@ def run_dyna_ppo_nam(
                 key, k_nam = jax.random.split(key)
                 cache, costs, fitness, _ = nam_query(cache, costs, tokens, key=k_nam)
 
-            density = density_of(den_pk, den_fit, n_den, pk)
-            den_pk, den_fit, n_den, _, _ = upsert(
-                den_pk, den_fit, n_den, pk, fitness
-            )
+            density = density_of(den, tokens, pk)
+            den = den_update(den, pk, tokens, fitness)
             rewards = fitness - _LAM * density
 
             if record:
@@ -429,7 +477,7 @@ def run_dyna_ppo_nam(
                 gen = (gen_pk, gen_fit, n_gen, gen_tokens)
 
             out = (tokens, actions, logps, values, rewards)
-            return (cache, costs, (den_pk, den_fit, n_den), gen, key), out
+            return (cache, costs, den, gen, key), out
 
         (cache, costs, den, gen, key), traj = jax.lax.scan(
             collect, (cache, costs, den, gen, key), None, length=n_batches
@@ -470,6 +518,8 @@ def run_dyna_ppo_nam(
         jnp.zeros((den_cap,), jnp.float32),
         jnp.int32(0),
     )
+    if use_edit:
+        den = den + (jnp.zeros((den_cap, L), jnp.int32),)
 
     key, init_key = jax.random.split(key)
     policy = net.init(init_key, jnp.zeros((1, obs_dim), jnp.float32))
@@ -588,8 +638,13 @@ class DeviceDynaPPONAM:
         signal_strength: float = 0.9,
         model: str = "nam",
         seed: int = 0,
+        density_metric: str = "hamming",
     ):
-        """Create the fused constructive DynaPPO runner for `landscape`."""
+        """Create the fused constructive DynaPPO runner for `landscape`.
+
+        `density_metric`: "hamming" (default fast radius) or "edit"
+        (exact reference Levenshtein; see `run_dyna_ppo_nam`).
+        """
         if model not in ("nam", "perfect"):
             raise ValueError("model must be 'nam' or 'perfect'")
         self.landscape = landscape
@@ -599,6 +654,7 @@ class DeviceDynaPPONAM:
         self.env_batch_size = env_batch_size
         self.num_model_rounds = num_model_rounds
         self.train_epochs = train_epochs
+        self.density_metric = density_metric
         self.seed = seed
         self.name = f"DeviceDynaPPO_Agent_10_{num_model_rounds}"
         self.model_name = (
@@ -632,6 +688,7 @@ class DeviceDynaPPONAM:
             env_batch_size=self.env_batch_size,
             num_model_rounds=self.num_model_rounds,
             train_epochs=self.train_epochs,
+            density_metric=self.density_metric,
         )
         result = fetch_run_result(result)
         self.landscape.add_cost(int(result.landscape_cost[-1]))

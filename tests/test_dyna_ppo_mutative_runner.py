@@ -50,6 +50,18 @@ def test_truth_matches_landscape(landscape):
     np.testing.assert_allclose(df["true_score"].to_numpy(), recomputed, atol=1e-6)
 
 
+def test_density_metric_edit_runs(landscape):
+    """density_metric='edit' (exact in-walk Levenshtein) keeps the contract."""
+    df, _ = _run(landscape, density_metric="edit")
+    assert df["round"].max() == 2
+    assert df["sequence"].is_unique
+    recomputed = landscape._fitness_function(df["sequence"].tolist())
+    np.testing.assert_allclose(df["true_score"].to_numpy(), recomputed, atol=1e-6)
+    a, _ = _run(landscape, density_metric="edit", seed=5)
+    b, _ = _run(landscape, density_metric="edit", seed=5)
+    assert (a["sequence"] == b["sequence"]).all()
+
+
 def test_mutative_climbs_with_budget(landscape):
     df, _ = _run(
         landscape,

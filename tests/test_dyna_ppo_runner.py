@@ -60,6 +60,43 @@ def test_seed_determinism(landscape):
     assert (a["sequence"] == b["sequence"]).all()
 
 
+def test_edit_density_weights_shift_pair():
+    """_edit_density counts a block-shift pair the way editdistance does.
+
+    ACGTACGT -> CGTACGTA is Hamming distance 8 (every position moves) but
+    Levenshtein 2 (drop the leading A, append an A): the reference env
+    weighs it 1/2 (environments/dyna_ppo.py:106-114); the packed-Hamming
+    density reports 0.  Also pins the dead-row mask: a trash-row fitness
+    beyond n_den must not leak into the sum.
+    """
+    import jax.numpy as jnp
+
+    from flexs_tpu.runtime.dyna_ppo_runner import _edit_density
+
+    query = jnp.array([[1, 2, 3, 0, 1, 2, 3, 0]], jnp.int32)  # CGTACGTA
+    den_tokens = jnp.array(
+        [
+            [0, 1, 2, 3, 0, 1, 2, 3],  # ACGTACGT: edit distance 2
+            [1, 2, 3, 0, 1, 2, 3, 0],  # dead row == query (d would be 0)
+        ],
+        jnp.int32,
+    )
+    den_fit = jnp.array([1.0, 50.0], jnp.float32)
+    d = _edit_density(query, den_tokens, den_fit, jnp.int32(1))
+    np.testing.assert_allclose(np.asarray(d), [0.5], atol=1e-6)
+
+
+def test_density_metric_edit_runs(landscape):
+    """density_metric='edit' compiles, runs, and keeps the run contract."""
+    df, meta = _run(landscape, density_metric="edit")
+    assert df["round"].max() == 2
+    assert df["sequence"].is_unique
+    assert df["model_cost"].max() == 2 * 32
+    a, _ = _run(landscape, density_metric="edit", seed=3)
+    b, _ = _run(landscape, density_metric="edit", seed=3)
+    assert (a["sequence"] == b["sequence"]).all()
+
+
 def test_dynappo_in_generic_sweep(landscape):
     from flexs_tpu.parallel.sweep import run_landscape_robustness_sweep
 
