@@ -1,0 +1,158 @@
+"""North-star benchmark: EVERY fused explorer family x ALL TF-Bind-8 landscapes.
+
+BASELINE.json's north-star target is literally "run all baseline explorers
+over the 158 TF-Bind-8 landscapes ... with >=50x wall-clock speedup" (the
+shipped data directory actually carries 200 landscape TSVs; the reference
+README calls it "158 landscapes", reference README.md:96).  The reference
+executes that grid as independent cloud-VM processes, one explorer run per
+process (reference paper_code/cloud/runner.py); this script executes it as
+twelve sharded device sweeps — one per fused explorer family — on however
+many chips the default mesh has.
+
+Per family it reports warm wall-clock (compile amortized via a same-shaped
+warmup chunk, the `bench.py` methodology), sequences scored/sec, and the
+quality distribution over the full landscape grid; the summary line compares
+total throughput against the measured single-core reference baseline
+(BASELINE_MEASURED.json, 3,068 seqs/s on the Adalead headline config).
+
+    python scripts/bench_northstar.py                      # all 12 families
+    python scripts/bench_northstar.py --families adalead random --cpu
+    python scripts/bench_northstar.py --full-robustness    # adalead x 5 ss
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FAMILIES = [
+    "random",
+    "adalead",
+    "ga",
+    "cmaes",
+    "bo",
+    "gpr_bo",
+    "dqn",
+    "ppo",
+    "dynappo",
+    "dynappo_mutative",
+    "cbas",
+    "dbas",
+]
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--families", nargs="+", default=FAMILIES,
+                        choices=FAMILIES)
+    parser.add_argument("--landscapes", type=int, default=0,
+                        help="0 = all shipped TF-Bind-8 landscapes")
+    parser.add_argument("--ss", type=float, nargs="+", default=[0.9],
+                        help="NoisyAbstractModel signal strengths per cell")
+    parser.add_argument("--rounds", type=int, default=10)
+    parser.add_argument("--batch", type=int, default=100)
+    parser.add_argument("--queries", type=int, default=2000)
+    parser.add_argument("--chunk", type=int, default=40)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument(
+        "--full-robustness", action="store_true",
+        help="also run the flagship full robustness grid: adalead x all "
+        "landscapes x the reference's 5 signal strengths (evaluate.py:11)",
+    )
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from flexs_tpu.landscapes import tf_binding
+    from flexs_tpu.parallel import run_robustness_sweep
+
+    names, _ = tf_binding._packed_tables()
+    if args.landscapes:
+        names = names[: args.landscapes]
+    starts = tf_binding.STARTS[:1]
+    mesh = (
+        Mesh(np.array(jax.devices()), ("cells",))
+        if len(jax.devices()) > 1
+        else None
+    )
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BASELINE_MEASURED.json",
+    )
+    base_sps = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base_sps = json.load(f)["seqs_per_sec"]
+
+    def sweep(family, land_names, ss):
+        return run_robustness_sweep(
+            landscape_names=land_names,
+            starts=starts,
+            signal_strengths=ss,
+            rounds=args.rounds,
+            sequences_batch_size=args.batch,
+            model_queries_per_batch=args.queries,
+            chunk_size=args.chunk,
+            mesh=mesh,
+            algorithm=family,
+        )
+
+    grids = [(f, args.ss) for f in args.families]
+    if args.full_robustness:
+        grids.append(("adalead", [0.0, 0.5, 0.75, 0.9, 1.0]))
+
+    total_seqs, total_wall, lines = 0, 0.0, []
+    for family, ss in grids:
+        # Warm the per-chunk program with one exactly chunk-shaped call
+        # (chunk_size >= n dispatches n cells un-padded, so names[:chunk]
+        # with a single signal strength hits the same jit entry as each
+        # full-grid chunk).
+        warm_n = max(1, args.chunk // len(ss))
+        sweep(family, names[:warm_n], ss)
+
+        t0 = time.time()
+        df = sweep(family, names, ss)
+        wall = time.time() - t0
+        seqs = int(df["model_cost"].sum() + df["landscape_cost"].sum())
+        total_seqs += seqs
+        total_wall += wall
+        line = {
+            "family": family,
+            "signal_strengths": ss,
+            "cells": len(df),
+            "wall_s": round(wall, 2),
+            "seqs": seqs,
+            "seqs_per_sec": round(seqs / wall, 1),
+            "mean_max_fitness": round(float(df["max_fitness"].mean()), 4),
+            "min_max_fitness": round(float(df["max_fitness"].min()), 4),
+        }
+        lines.append(line)
+        print(json.dumps(line), flush=True)
+
+    summary = {
+        "metric": "northstar_all_explorers_all_landscapes",
+        "landscapes": len(names),
+        "families": len(args.families),
+        "total_cells": int(sum(l["cells"] for l in lines)),
+        "total_seqs": total_seqs,
+        "total_wall_s": round(total_wall, 2),
+        "seqs_per_sec": round(total_seqs / total_wall, 1),
+        "n_devices": len(jax.devices()),
+        "vs_baseline": (
+            round(total_seqs / total_wall / base_sps, 2) if base_sps else None
+        ),
+    }
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
