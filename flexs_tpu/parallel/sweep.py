@@ -146,6 +146,16 @@ def sweep_adalead_nam(
         idx = np.arange(sl.start, sl.stop)
         if chunk_size is not None and len(idx) < chunk_size:
             idx = np.concatenate([idx, np.zeros(chunk_size - len(idx), np.int64)])
+        if mesh is not None:
+            # A sharded dispatch needs a mesh-multiple cell count; pad by
+            # wrapping (full chunks are already mesh multiples via the
+            # chunk_size rounding above, so this only fires on the single
+            # exact-size dispatch).  Padded rows are dropped by the
+            # truncation below, matching the generic path's
+            # _pad_cells_to_mesh.
+            pad = (-len(idx)) % mesh.devices.size
+            if pad:
+                idx = np.concatenate([idx, idx[np.arange(pad) % len(idx)]])
         args = put(
             table_idx[idx], start_tokens[idx], signal_strengths[idx], keys[idx]
         )

@@ -53,14 +53,16 @@ def main():
     print(f"first call (compile+exec): {t_first:.1f} s; "
           f"mean MFE {first.mean():.3f} kcal/mol")
 
-    # Steady state: pipeline reps, one fetch each (fetch ~10-20 ms floor).
-    walls = []
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(args.reps):
-            out = rna_fold.zuker_mfe_batch(tokens, em)
-            np.asarray(out)
-        walls.append((time.time() - t0) / args.reps)
+    # Steady state: pipeline reps, fetch ONCE at the end (the per-fetch
+    # ~10-20 ms relay floor would otherwise dominate a fast DP).
+    from flexs_tpu.utils.profiling import amortized_seconds_per_call
+
+    walls = [
+        amortized_seconds_per_call(
+            rna_fold.zuker_mfe_batch, tokens, em, reps=args.reps
+        )
+        for _ in range(3)
+    ]
     med = sorted(walls)[1]
     print(
         f"B={args.batch} L={args.length}: {med*1e3:.1f} ms/batch median "
