@@ -221,11 +221,13 @@ def main():
             )
         raise ValueError(name)
 
-    print(f"{'explorer':<10} {'ours mean/best':>16} {'reference':>16}  time")
+    print(f"{'explorer':<10} {'ours mean/best':>16} {'reference':>16}  time",
+          flush=True)
     for name in args.explorers:
         t0 = time.time()
         maxes = []
-        for start in starts:
+        for si, start in enumerate(starts):
+            ts = time.time()
             landscape = rosetta.RosettaFolding(**problem["params"])
             model = flexs.LandscapeAsModel(landscape)
             explorer = make(name, model, landscape, start)
@@ -234,6 +236,14 @@ def main():
             else:
                 df, _ = explorer.run(landscape, verbose=False)
             maxes.append(df["true_score"].max())
+            # Incremental per-start line: multi-hour explorers (host
+            # DynaPPO is ~75 min/start at env_batch=64) must not hold
+            # every datum in memory until the full row completes.
+            print(
+                f"  {name} start {si + 1}/{len(starts)}: "
+                f"max {maxes[-1]:.3f}  ({time.time() - ts:.0f}s)",
+                flush=True,
+            )
         ref = REFERENCE[name]
         print(
             f"{name:<10} {np.mean(maxes):>8.3f}/{np.max(maxes):.3f} "
