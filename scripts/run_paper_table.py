@@ -58,10 +58,17 @@ def main():
     parser.add_argument(
         "--env-batch", type=int, default=16,
         help="constructive-DynaPPO parallel episodes per collect step "
-        "(a pure batching knob over our already-documented batched-env "
-        "deviation: budgets and PPO semantics are unchanged, but each "
-        "act/step relay round-trip advances this many episodes — the "
-        "host loop is dispatch-latency-bound through the TPU relay)",
+        "(a batching knob over our already-documented batched-env "
+        "deviation: each act/step relay round-trip advances this many "
+        "episodes — the host loop is dispatch-latency-bound through the "
+        "TPU relay). Budget semantics are EXACT only when this divides "
+        "both phase budgets (the experiment phase spends "
+        "sequences_batch_size true queries, each model round "
+        "model_queries_per_batch/num_model_rounds model queries); a "
+        "non-divisor overshoots the budget by up to batch-1 queries on "
+        "the final collect, e.g. 256 spends 2.56x the intended true "
+        "queries per round. 100 divides the paper config (100, 200) "
+        "exactly",
     )
     args = parser.parse_args()
 
