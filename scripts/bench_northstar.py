@@ -110,14 +110,28 @@ def main():
     if args.full_robustness:
         grids.append(("adalead", [0.0, 0.5, 0.75, 0.9, 1.0]))
 
+    mesh_size = mesh.devices.size if mesh is not None else 1
+
+    def warm(family, ss):
+        # Warm the EXACT program shape the timed run dispatches, else the
+        # timed wall-clock silently includes a fresh compile.  The sweep
+        # engine rounds chunk_size up to a mesh multiple and pads every
+        # tail chunk to chunk_size, so: a grid larger than one chunk only
+        # ever dispatches C-cell programs; a grid of n <= C cells is one
+        # exact n-cell dispatch.
+        n_total = len(names) * len(ss)
+        c = -(-args.chunk // mesh_size) * mesh_size
+        if n_total <= c:
+            sweep(family, names, ss)  # identical single-dispatch shape
+            return
+        k, rem = divmod(c, len(ss))
+        # k+1 names overflow one chunk, so the tail pads back to exactly
+        # c cells — both dispatches hit the timed run's jit entry.
+        sweep(family, names[: k + (1 if rem else 0)], ss)
+
     total_seqs, total_wall, lines = 0, 0.0, []
     for family, ss in grids:
-        # Warm the per-chunk program with one exactly chunk-shaped call
-        # (chunk_size >= n dispatches n cells un-padded, so names[:chunk]
-        # with a single signal strength hits the same jit entry as each
-        # full-grid chunk).
-        warm_n = max(1, args.chunk // len(ss))
-        sweep(family, names[:warm_n], ss)
+        warm(family, ss)
 
         t0 = time.time()
         df = sweep(family, names, ss)

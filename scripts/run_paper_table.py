@@ -70,6 +70,12 @@ def main():
         "queries per round. 100 divides the paper config (100, 200) "
         "exactly",
     )
+    parser.add_argument(
+        "--density-metric", default="hamming", choices=["hamming", "edit"],
+        help="fused device-dynappo density distance: 'hamming' (the "
+        "documented fast deviation) or 'edit' (the reference's exact "
+        "Levenshtein, environments/dyna_ppo.py:106-114)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -224,6 +230,7 @@ def main():
                 starting_sequence=start,
                 env_batch_size=16,
                 model="perfect",
+                density_metric=args.density_metric,
                 seed=0,
             )
         raise ValueError(name)
