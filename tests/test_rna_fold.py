@@ -23,6 +23,7 @@ def _tables(params=None):
     hairpin = rna_duplex._loop_tail(
         rna_fold.HAIRPIN_INIT, rna_fold._MAX_HAIRPIN_TABLE
     )
+    tetra, tri = rna_fold._special_hairpin_tables()
     return {
         "stack": p.stack,
         "mA": p.mA,
@@ -31,9 +32,46 @@ def _tables(params=None):
         "interior_cost": p.interior_cost_matrix(),
         "bulge": p.bulge_sizes,
         "hairpin": hairpin,
+        "tetra": tetra,
+        "tri": tri,
+        "mA_d5": np.asarray(p.mA).mean(axis=2),
+        "mA_d3": np.asarray(p.mA).mean(axis=1),
         "term_au": p.terminal_au,
         "maxloop": p.maxloop,
     }
+
+
+def _code(seq, positions):
+    """Base-4 integer of `seq` tokens at `positions` (special-hairpin key)."""
+    c = 0
+    for k in positions:
+        c = c * 4 + int(seq[k])
+    return c
+
+
+def _hairpin_special(seq, i, j, t):
+    """Family bonus for a size-3/4 hairpin closed by (i, j), else 0."""
+    size = j - i - 1
+    if size == 4:
+        return t["tetra"][_code(seq, [i, i + 1, i + 2, i + 3, i + 4, j])]
+    if size == 3:
+        return t["tri"][_code(seq, [i, i + 1, i + 2, i + 3, j])]
+    return 0.0
+
+
+def _ext_mismatch(seq, i, j, p, t):
+    """dangles=2 exterior mismatch of branch (i, j): both flanking bases
+    when they exist, base-averaged one-sided dangles at the boundaries."""
+    REV = rna_fold._REV_PT
+    L = len(seq)
+    rev = REV[p]
+    if i > 0 and j < L - 1:
+        return t["mA"][rev, seq[j + 1], seq[i - 1]]
+    if i > 0:
+        return t["mA_d3"][rev, seq[i - 1]]
+    if j < L - 1:
+        return t["mA_d5"][rev, seq[j + 1]]
+    return 0.0
 
 
 def _ref_zuker(tokens, t, min_h=3):
@@ -68,7 +106,10 @@ def _ref_zuker(tokens, t, min_h=3):
                         if size > min_h
                         else au * WEAK[p]
                     )
-                    best = min(best, t["hairpin"][size] + mm)
+                    best = min(
+                        best,
+                        t["hairpin"][size] + mm + _hairpin_special(seq, i, j, t),
+                    )
                 for d1 in range(t["maxloop"] + 1):
                     for d2 in range(t["maxloop"] + 1 - d1):
                         k, l = i + d1 + 1, j - d2 - 1
@@ -95,17 +136,20 @@ def _ref_zuker(tokens, t, min_h=3):
                                 + t["mB"][REV[q], seq[l + 1], seq[k - 1]]
                             )
                         best = min(best, e + V[k, l])
+                mm_close = t["mA"][REV[p], seq[j - 1], seq[i + 1]]
                 for k in range(i + 2, j - 1):
                     best = min(
                         best,
-                        ml_a + ml_b + au * WEAK[p] + M[i + 1, k] + M[k + 1, j - 1],
+                        ml_a + ml_b + au * WEAK[p] + mm_close
+                        + M[i + 1, k] + M[k + 1, j - 1],
                     )
             V[i, j] = best
 
             m = min(M[i + 1, j] + ml_c if i + 1 <= j else _INF,
                     M[i, j - 1] + ml_c)
             if p > 0:
-                m = min(m, V[i, j] + ml_b + au * WEAK[p])
+                mm_br = t["mA"][REV[p], seq[(j + 1) % L], seq[(i - 1) % L]]
+                m = min(m, V[i, j] + ml_b + au * WEAK[p] + mm_br)
             for k in range(i, j):
                 m = min(m, M[i, k] + M[k + 1, j])
             M[i, j] = min(m, _INF)
@@ -116,7 +160,11 @@ def _ref_zuker(tokens, t, min_h=3):
         for i in range(j + 1):
             p = PT[seq[i], seq[j]]
             if V[i, j] < _INF / 2:
-                w = min(w, W[i] + V[i, j] + au * WEAK[p])
+                w = min(
+                    w,
+                    W[i] + V[i, j] + au * WEAK[p]
+                    + _ext_mismatch(seq, i, j, p, t),
+                )
         W[j + 1] = w
     return min(W[L], 0.0)
 
@@ -186,7 +234,7 @@ def _structure_energy(seq, pairs, t, min_h=3):
                 if size > min_h
                 else au * WEAK[p]
             )
-            total += t["hairpin"][size] + mm
+            total += t["hairpin"][size] + mm + _hairpin_special(seq, i, j, t)
         elif len(cs) == 1:
             k, l = cs[0]
             d1, d2 = k - i - 1, j - l - 1
@@ -210,10 +258,19 @@ def _structure_energy(seq, pairs, t, min_h=3):
                 )
         else:
             unpaired = (j - i - 1) - sum(l - k + 1 for (k, l) in cs)
-            total += ml_a + ml_b + au * WEAK[p] + ml_c * unpaired
+            REV = rna_fold._REV_PT
+            total += (
+                ml_a + ml_b + au * WEAK[p] + ml_c * unpaired
+                + t["mA"][REV[p], seq[j - 1], seq[i + 1]]  # closing mismatch
+            )
             for (k, l) in cs:
-                total += ml_b + au * WEAK[PT[seq[k], seq[l]]]
-    # External loop: each top-level branch pays its terminal-AU.
+                q = PT[seq[k], seq[l]]
+                total += (
+                    ml_b + au * WEAK[q]
+                    + t["mA"][REV[q], seq[l + 1], seq[k - 1]]  # branch mm
+                )
+    # External loop: each top-level branch pays terminal-AU + the
+    # dangles=2 exterior mismatch.
     enclosed = set()
     for (i, j) in pairs:
         for (k, l) in pairs:
@@ -221,7 +278,8 @@ def _structure_energy(seq, pairs, t, min_h=3):
                 enclosed.add((k, l))
     for (i, j) in pairs:
         if (i, j) not in enclosed:
-            total += au * WEAK[PT[seq[i], seq[j]]]
+            p = PT[seq[i], seq[j]]
+            total += au * WEAK[p] + _ext_mismatch(seq, i, j, p, t)
     return total
 
 
@@ -355,6 +413,72 @@ def test_min_hairpin_enforced():
     e2 = _mfe("GGGAACCC")
     assert e3 < 0
     assert e2 > e3
+
+
+def _mfe_with(seq, em):
+    tok = _RNA.encode([seq])
+    return float(rna_fold.zuker_mfe_batch(tok, em)[0])
+
+
+def test_tetraloop_bonus_charged_exactly_once():
+    # cUUCGg hairpin on a GC stem: zeroing the tetra table must raise the
+    # MFE by exactly the UNCG family bonus (charged once, only at size 4).
+    em = rna_fold.fold_energy_model()
+    em_no = dict(em)
+    em_no["tetra"] = np.zeros_like(np.asarray(em["tetra"]))
+    seq = "GGGC" + "UUCG" + "GCCC"  # C-G closed UUCG tetraloop
+    shift = _mfe_with(seq, em_no) - _mfe_with(seq, em)
+    assert shift == pytest.approx(2.5, abs=1e-4), shift
+    # A non-family loop (AUCG: first loop base != U) is untouched.
+    ctrl = "GGGC" + "AUCG" + "GCCC"
+    assert _mfe_with(ctrl, em_no) == pytest.approx(_mfe_with(ctrl, em), abs=1e-6)
+
+
+def test_triloop_correction_charged():
+    # The Turner-2004 triloop entries are DEstabilizing corrections;
+    # CAACG (closing C-G, loop AAC) must score exactly +1.4 vs the
+    # generic size-3 energy (= the zeroed-table run).
+    em = rna_fold.fold_energy_model()
+    em_no = dict(em)
+    em_no["tri"] = np.zeros_like(np.asarray(em["tri"]))
+    # 5-pair stem: re-pairing away from the triloop would cost a full
+    # stack (~3 kcal/mol) — far more than the +1.4 correction — so the
+    # optimal structure keeps the CAACG triloop and pays it exactly once.
+    # (With a 2-stack stem the DP correctly dodges into a size-4 loop and
+    # the shift comes out below 1.4.)
+    seq = "GGGGC" + "AAC" + "GCCCC"
+    with_tri, without = _mfe_with(seq, em), _mfe_with(seq, em_no)
+    assert without < 0
+    assert with_tri - without == pytest.approx(1.4, abs=1e-4)
+
+
+def test_exterior_mismatch_dangles2():
+    # An interior exterior-loop branch (both flanking bases exist) pays
+    # the two-sided mismatch; a branch spanning the whole sequence pays
+    # none.  Perturb mA and check only the flanked fold shifts.
+    em = rna_fold.fold_energy_model()
+    flanked = "A" + "GGGGG" + "AAAA" + "CCCCC" + "A"  # branch (1, 14)
+    spanning = "GGGGG" + "AAAA" + "CCCCC"  # branch (0, 13): no flanks
+    t = _tables()
+    e_flanked = _mfe_with(flanked, em)
+    # The device MFE must equal the NumPy mirror on both (already covered
+    # by the pinned-suite, but these two are the boundary cases).
+    assert e_flanked == pytest.approx(
+        _ref_zuker(_RNA.encode_one(flanked), t), abs=2e-4
+    )
+    assert _mfe_with(spanning, em) == pytest.approx(
+        _ref_zuker(_RNA.encode_one(spanning), t), abs=2e-4
+    )
+    # And the flanked branch's exterior term is exactly the mA entry for
+    # (reversed pair, 3'-flank, 5'-flank) when the optimal structure is
+    # the same stem in both backgrounds.
+    mm = t["mA"][
+        rna_fold._REV_PT[rna_duplex.PAIR_TABLE[_RNA.encode_one("G")[0],
+                                               _RNA.encode_one("C")[0]]],
+        _RNA.encode_one("A")[0],
+        _RNA.encode_one("A")[0],
+    ]
+    assert e_flanked == pytest.approx(_mfe_with(spanning, em) + mm, abs=1e-4)
 
 
 def test_landscape_uses_zuker_dp():
