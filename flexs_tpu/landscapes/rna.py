@@ -193,7 +193,8 @@ class RNAFolding(Landscape):
 
     The oracle is the Turner-structured Zuker DP of
     flexs_tpu.ops.rna_fold (hairpin size curve, bulge/interior/1x1 terms
-    from the calibrated duplex tables, affine multiloop closure) — the
+    from the calibrated duplex tables, affine multiloop closure,
+    dangles=2 helix-end mismatches, tetraloop/triloop bonuses) — the
     device analog of the reference's `RNA.fold` call (reference
     rna.py:15-27).  Absolute calibration vs `RNA.fold` remains blocked in
     this environment (BASELINE.md); structural fidelity is test-pinned
