@@ -27,7 +27,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--batch", type=int, default=512)
-    ap.add_argument("--length", type=int, default=100)
+    ap.add_argument(
+        "--length", type=int, default=None,
+        help="single length; default measures L=50 and L=100 (the "
+        "BASELINE.md row wants both)",
+    )
     ap.add_argument("--reps", type=int, default=10)
     args = ap.parse_args()
 
@@ -38,37 +42,38 @@ def main():
     import jax.numpy as jnp
 
     from flexs_tpu.ops import rna_fold
+    from flexs_tpu.utils.profiling import amortized_seconds_per_call
 
     em = rna_fold.fold_energy_model()
     rng = np.random.default_rng(0)
-    tokens = jnp.asarray(
-        rng.integers(0, 4, (args.batch, args.length)).astype(np.int32)
-    )
-    tokens = jax.device_put(tokens)
-
-    t0 = time.time()
-    out = rna_fold.zuker_mfe_batch(tokens, em)
-    first = np.asarray(out)
-    t_first = time.time() - t0
-    print(f"first call (compile+exec): {t_first:.1f} s; "
-          f"mean MFE {first.mean():.3f} kcal/mol")
-
-    # Steady state: pipeline reps, fetch ONCE at the end (the per-fetch
-    # ~10-20 ms relay floor would otherwise dominate a fast DP).
-    from flexs_tpu.utils.profiling import amortized_seconds_per_call
-
-    walls = [
-        amortized_seconds_per_call(
-            rna_fold.zuker_mfe_batch, tokens, em, reps=args.reps
+    for length in [args.length] if args.length else [50, 100]:
+        tokens = jnp.asarray(
+            rng.integers(0, 4, (args.batch, length)).astype(np.int32)
         )
-        for _ in range(3)
-    ]
-    med = sorted(walls)[1]
-    print(
-        f"B={args.batch} L={args.length}: {med*1e3:.1f} ms/batch median "
-        f"(spread {min(walls)*1e3:.1f}-{max(walls)*1e3:.1f}) = "
-        f"{args.batch/med:,.0f} seqs/s"
-    )
+        tokens = jax.device_put(tokens)
+
+        t0 = time.time()
+        out = rna_fold.zuker_mfe_batch(tokens, em)
+        first = np.asarray(out)
+        t_first = time.time() - t0
+        print(f"L={length} first call (compile+exec): {t_first:.1f} s; "
+              f"mean MFE {first.mean():.3f} kcal/mol", flush=True)
+
+        # Steady state: pipeline reps, fetch ONCE at the end (the
+        # per-fetch ~10-20 ms relay floor would otherwise dominate).
+        walls = [
+            amortized_seconds_per_call(
+                rna_fold.zuker_mfe_batch, tokens, em, reps=args.reps
+            )
+            for _ in range(3)
+        ]
+        med = sorted(walls)[1]
+        print(
+            f"B={args.batch} L={length}: {med*1e3:.1f} ms/batch median "
+            f"(spread {min(walls)*1e3:.1f}-{max(walls)*1e3:.1f}) = "
+            f"{args.batch/med:,.0f} seqs/s",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
