@@ -135,17 +135,20 @@ def test_efficiency_sweep_algorithm_passthrough():
     assert (df["max_fitness"] >= df["start_fitness"]).all()
 
 
-def test_rl_sweep_sharded_matches_serial(mesh):
+@pytest.mark.parametrize("algorithm", ["dqn", "dynappo"])
+def test_rl_sweep_sharded_matches_serial(mesh, algorithm):
     """Mesh-sharded RL cells score identically to the unsharded sweep.
 
     The mesh-family tests (test_mesh_all_algorithms.py) prove every RL
     family compiles and executes under shard_map; this pins that the
-    sharding is QUALITY-preserving for an RL grid — same per-cell PRNG,
+    sharding is QUALITY-preserving for RL grids — same per-cell PRNG,
     same trajectories, same scores — not just shape-valid (VERDICT r4
-    weak #5).  The 4-cell grid is smaller than the 8-device mesh, so it
-    also exercises the smaller-than-mesh pad-and-shard fast path.
+    weak #5).  Covers both RL program classes (DQN's replay/Q-training
+    bursts and DynaPPO's model-round while_loops).  The 4-cell grid is
+    smaller than the 8-device mesh, so it also exercises the
+    smaller-than-mesh pad-and-shard fast path.
     """
-    kw = dict(algorithm="dqn")
+    kw = dict(algorithm=algorithm)
     a = _sweep(mesh=None, **kw)
     b = _sweep(mesh=mesh, **kw)
     np.testing.assert_allclose(
