@@ -58,6 +58,21 @@ def main():
     rows = list(families.values())
     total_seqs = sum(r["seqs"] for r in rows)
     total_wall = sum(r["wall_s"] for r in rows)
+
+    # Family-fair denominators where the reference family itself was
+    # measured on this machine (scripts/measure_reference_family_baselines
+    # .py): the Adalead denominator understates the speedup for families
+    # whose reference host loop is much slower than Adalead's (GA's
+    # per-child editdistance novelty scans, DQN's per-step Q-training).
+    fam_base = {}
+    fam_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BASELINE_FAMILY_MEASURED.json",
+    )
+    if os.path.exists(fam_path):
+        with open(fam_path) as f:
+            fam_base = {k: v["seqs_per_sec"] for k, v in json.load(f).items()}
+
     summary = {
         "metric": "northstar_all_explorers_all_landscapes",
         "families": len(rows),
@@ -69,13 +84,19 @@ def main():
         "vs_baseline": round(total_seqs / total_wall / base_sps, 2),
     }
 
-    print("| family | cells | wall (s) | seqs | seqs/s | vs ref (3,068/s) |"
-          " mean max_fitness | min |")
-    print("|---|---|---|---|---|---|---|---|")
+    print("| family | cells | wall (s) | seqs | seqs/s | vs ref Adalead"
+          " (3,068/s) | vs ref same-family | mean max_fitness | min |")
+    print("|---|---|---|---|---|---|---|---|---|")
     for r in rows:
+        fb = fam_base.get(r["family"])
+        fair = f"**{r['seqs_per_sec'] / fb:.0f}x**" if fb else "—"
+        r["vs_family_baseline"] = (
+            round(r["seqs_per_sec"] / fb, 1) if fb else None
+        )
         print(
             f"| {r['family']} | {r['cells']} | {r['wall_s']} | {r['seqs']:,}"
             f" | {r['seqs_per_sec']:,} | {r['seqs_per_sec'] / base_sps:.1f}x"
+            f" | {fair}"
             f" | {r['mean_max_fitness']} | {r['min_max_fitness']} |"
         )
     print(json.dumps(summary))
