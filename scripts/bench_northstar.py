@@ -55,6 +55,14 @@ def main():
     parser.add_argument("--batch", type=int, default=100)
     parser.add_argument("--queries", type=int, default=2000)
     parser.add_argument("--chunk", type=int, default=40)
+    parser.add_argument(
+        "--cell-mode", default="auto", choices=["auto", "vmap", "map"],
+        help="per-shard cell schedule (parallel/sweep.py): 'map' runs "
+        "cells sequentially via lax.map — the workaround for families "
+        "whose vmapped sweep program crashes the relay's TPU worker "
+        "(observed for dqn/dynappo_mutative at chunks 40 AND 10, while "
+        "their single-run programs and CPU-mesh sweeps are fine)",
+    )
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument(
         "--full-robustness", action="store_true",
@@ -104,6 +112,7 @@ def main():
             chunk_size=args.chunk,
             mesh=mesh,
             algorithm=family,
+            cell_mode=args.cell_mode,
         )
 
     grids = [(f, args.ss) for f in args.families]
