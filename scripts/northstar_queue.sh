@@ -44,6 +44,13 @@ run_family() {
 }
 
 for fam in random adalead ga cmaes bo gpr_bo cbas dbas ppo dynappo dqn dynappo_mutative; do
+  # Resume support: a family already recorded in $LOG (e.g. by a queue run
+  # that was interrupted mid-list) is skipped, so relaunching with the same
+  # log continues where the previous run stopped.
+  if have_summary "$fam"; then
+    echo "skip $fam (already in $LOG)" >&2
+    continue
+  fi
   case " $MAP_FAMILIES " in
     *" $fam "*) mode=map ;;
     *) mode=auto ;;
