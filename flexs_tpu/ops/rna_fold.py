@@ -57,13 +57,18 @@ and the absolute scale is uncalibrated by construction.
 
 TPU mapping: one `lax.scan` over subsequence spans; each step fills a
 whole diagonal of V/fML at once with fixed-shape vectorized min-plus
-reductions — the interior window is one [n_windows, L] batched gather of
-earlier diagonals (static per-window column shifts), the multiloop split
-and last-branch reductions are [L, L] gathers — no data-dependent control
-flow, so the program jits once per length bucket and vmaps over batches.
-Uncomputed diagonals stay at +inf, which makes every wrapped (mod-L)
-gather outside the valid triangle saturate instead of contaminating the
-min-plus algebra.
+reductions.  Every cross-diagonal read (interior windows, multiloop
+split, last-branch, exterior loop) has row+column indices summing to a
+per-step constant, so V/fML are carried in a span-relative SHIFTED
+layout (`Xsh[r, c] = X_diag[r, (c - r) % L]`) where each read family
+costs one dynamic roll + static flip + dynamic roll — plain slice/copy
+ops — instead of the [P, L] / [L, L] arbitrary gathers XLA scalarizes
+on TPU (the gather form measured 9.6 s/batch at B=512 L=50; see the
+BASELINE.md fold-throughput row for the A/B).  No data-dependent
+control flow, so the program jits once per length bucket and vmaps over
+batches.  Uncomputed diagonals stay at +inf, which makes every wrapped
+(mod-L) read outside the valid triangle saturate instead of
+contaminating the min-plus algebra.
 """
 from functools import partial
 
@@ -241,9 +246,27 @@ def zuker_mfe(tokens, em, maxloop: int = 16, min_hairpin: int = 3):
 
     big = jnp.float32(_INF)
 
+    # V is carried ONLY in a span-relative "shifted" layout,
+    #   Vsh[r, c] = V_diag[r, (c - r) % L]   (V_diag[s, i] = V(i, i+s)),
+    # because every V read below has row+column indices summing to a
+    # per-step constant: V(i+a, i+s-b) = V_diag[s-a-b, i+a] =
+    # Vsh[s-a-b, i+s-b].  In this layout the whole family of reads
+    # becomes ONE per-step realignment (a dynamic column roll, a static
+    # row flip, and a dynamic row roll — plain slice/copy ops) instead of
+    # the [P, L] / [L, L] arbitrary gathers XLA lowers to scalar loops on
+    # TPU (the same pathology the duplex oracle hit; measured 9.6 s/batch
+    # at B=512 L=50 for the gather form).  fML keeps BOTH layouts: the
+    # diagonal layout feeds the static-roll prefix/last-branch reads, the
+    # shifted layout feeds the multiloop split.
     def span_step(carry, s):
-        Vd, Md = carry
+        Vsh, Md, Msh = carry
         valid_i = idx + s < L  # (i, i+s) inside the sequence
+
+        # Realign V once per step: vb[t, i] = V(i + t, i + s) for ALL t
+        # (uncomputed/wrapped rows stay +inf and are masked by consumers).
+        vb = jnp.roll(
+            jnp.roll(Vsh, -s, axis=1)[::-1], -((L - 1 - s) % L), axis=0
+        )
 
         tok_s = jnp.roll(tokens, -s)  # tokens[(i+s) % L]
         # tok_s_shift[m, i] = tokens[(i + s - m) % L] for m = 0..maxloop+1
@@ -286,9 +309,15 @@ def zuker_mfe(tokens, em, maxloop: int = 16, min_hairpin: int = 3):
 
         # ---- two-loops: stack / bulge / 1x1 / generic interior -------
         # Inner pair (i + d1 + 1, i + s - d2 - 1), span s' = s - d1 - d2 - 2.
-        rows = (s - (d1s + d2s + 2)) % L  # [P]; s' > s wraps to +inf rows
-        cols = (idx[None, :] + (d1s + 1)[:, None]) % L  # [P, L]
-        v_inner = Vd[rows[:, None], cols]  # [P, L]
+        # V(i+d1+1, i+s-d2-1) = vb[d1+d2+2, i - d2 - 1]: a static row pick
+        # + static roll per window (wrapped windows land on +inf rows and
+        # are masked by inner_ok below, as in the gather form).
+        v_inner = jnp.stack(
+            [
+                jnp.roll(vb[int(d1 + d2 + 2) % L], int(d2) + 1)
+                for d1, d2 in wins
+            ]
+        )  # [P, L]
 
         tok_k = tok_shift[d1s + 1]  # [P, L]: tokens[i+d1+1]
         tok_l = tok_s_shift[d2s + 1]  # tokens[i+s-d2-1]
@@ -329,9 +358,12 @@ def zuker_mfe(tokens, em, maxloop: int = 16, min_hairpin: int = 3):
         # >=1-branch segments give the >=2 interior branches a multiloop
         # needs (the closing helix is the third).
         md_left = jnp.roll(Md, -1, axis=1)  # [p, i] = fML(i+1, i+1+p)
-        rows_r = (s - 3 - idx) % L  # right segment spans
-        cols_r = (col_plus + 2) % L  # right segment starts at i+2+p
-        md_right = Md[rows_r[:, None], cols_r]
+        # fML(i+2+p, i+s-1) = Msh[(s-3-p) % L, (i+s-1) % L]: one column
+        # roll shared by every p, then flip+roll realigns the rows.
+        md_cols = jnp.roll(Msh, -((s - 1) % L), axis=1)
+        md_right = jnp.roll(
+            md_cols[::-1], -((L + 2 - s) % L), axis=0
+        )  # [p, i]
         # Explicit split bound: p > s - 3 wraps rows_r back onto already
         # computed spans (overlapping segments) — mask, don't rely on inf.
         split_ok = (idx <= s - 3)[:, None]
@@ -345,13 +377,16 @@ def zuker_mfe(tokens, em, maxloop: int = 16, min_hairpin: int = 3):
         v_new = jnp.where(
             pairable, jnp.minimum(e_hairpin, jnp.minimum(e_two, e_ml)), big
         )
-        Vd = Vd.at[s % L].set(jnp.where(valid_i, v_new, big))
+        v_row = jnp.where(valid_i, v_new, big)
+        Vsh = Vsh.at[s % L].set(jnp.roll(v_row, s))
 
         # ---- fML: last-branch decomposition ---------------------------
         # fML(i, i+s) = min( fML(i, i+s-1) + c,
         #                    min_t prefix(i, t) + V(i+t, i+s) + b + AU )
         # prefix(i, 0) = 0; prefix(i, t) = min(fML(i, i+t-1), c * t).
-        v_branch = Vd[((s - idx) % L)[:, None], col_plus]  # [t, i]
+        # v_branch[t, i] = V(i+t, i+s) is exactly vb, except its t = 0 row
+        # predates this step's V write — patch it with the fresh row.
+        v_branch = vb.at[0].set(v_row)  # [t, i]
         tok_t = tokens[col_plus]  # tokens[(i+t) % L]
         pt_br = pair_tbl[tok_t, tok_s[None, :]]
         au_br = term_au * weak[pt_br]
@@ -367,14 +402,17 @@ def zuker_mfe(tokens, em, maxloop: int = 16, min_hairpin: int = 3):
         m_branch = jnp.min(prefix + v_branch + ml_b + au_br + mm_br, axis=0)
         m_unpaired_j = Md[(s - 1) % L] + ml_c
         m_new = jnp.minimum(m_unpaired_j, m_branch)
-        Md = Md.at[s % L].set(jnp.where(valid_i, m_new, big))
+        m_row = jnp.where(valid_i, m_new, big)
+        Md = Md.at[s % L].set(m_row)
+        Msh = Msh.at[s % L].set(jnp.roll(m_row, s))
 
-        return (Vd, Md), None
+        return (Vsh, Md, Msh), None
 
-    Vd0 = jnp.full((L, L), big)
+    Vsh0 = jnp.full((L, L), big)
     Md0 = jnp.full((L, L), big)
-    (Vd, Md), _ = jax.lax.scan(
-        span_step, (Vd0, Md0), jnp.arange(1, L, dtype=jnp.int32)
+    Msh0 = jnp.full((L, L), big)
+    (Vsh, Md, Msh), _ = jax.lax.scan(
+        span_step, (Vsh0, Md0, Msh0), jnp.arange(1, L, dtype=jnp.int32)
     )
 
     # ---- external loop -------------------------------------------------
@@ -382,7 +420,10 @@ def zuker_mfe(tokens, em, maxloop: int = 16, min_hairpin: int = 3):
 
     def ext_step(W, j):
         # W[k] = MFE of the prefix [0, k); unpaired j extends for free.
-        v_col = Vd[(j - idx) % L, idx]  # V(i, j) for all i (i == j -> inf)
+        # V(i, j) = Vsh[(j-i) % L, j]: one dynamic column slice, then a
+        # flip+roll row realignment (i == j lands on the +inf span-0 row).
+        col_j = jax.lax.dynamic_slice(Vsh, (0, j), (L, 1))[:, 0]
+        v_col = jnp.roll(col_j[::-1], -((L - 1 - j) % L))
         pt_col = pt_ext[:, j]
         au = term_au * weak[pt_col]
         # dangles=2 exterior mismatch on branch (i, j): flanking bases
