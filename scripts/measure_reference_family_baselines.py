@@ -18,10 +18,18 @@ and records per-family seqs/s into BASELINE_FAMILY_MEASURED.json, which
 to the Adalead-denominator one.
 
 Only the families whose reference dependencies exist in this environment are
-measurable: `ga` (torch multinomial) and `dqn` (torch Q-network).  PPO and
-DynaPPO need TF-Agents, CbAS/DbAS need Keras, CMAES needs `cma` — none are
-installed here, so those families keep the Adalead denominator (documented
-in the aggregator output).
+measurable: `ga` (torch multinomial), `dqn` (torch Q-network), and
+`cbas`/`dbas` (keras VAE — TensorFlow turns out to import fine here).  PPO
+and DynaPPO need TF-Agents and CMAES needs `cma` — those are genuinely
+absent, so those families keep the Adalead denominator (documented in the
+aggregator output).
+
+Timing base: wall-clock AND `time.process_time()` are both recorded;
+`seqs_per_sec` uses process-time when it is smaller, because round-5
+measurements run while other CPU jobs hold the single core — process-time
+is what wall-clock would be on an idle host (the reference path is
+single-core), and a smaller reference time is the CONSERVATIVE choice for
+the rebuild's reported multiple.
 
     python scripts/measure_reference_family_baselines.py --families ga dqn
 """
@@ -44,7 +52,7 @@ OUT = os.path.join(
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--families", nargs="+", default=["ga", "dqn"],
-                    choices=["ga", "dqn", "random"])
+                    choices=["ga", "dqn", "random", "cbas", "dbas"])
     ap.add_argument("--rounds", type=int, default=10)
     args = ap.parse_args()
 
@@ -89,6 +97,29 @@ def main():
                 f"{base}/baselines/explorers/dqn.py",
             )
             return landscape, model, mod.DQN(model, device="cpu", **common)
+        if family in ("cbas", "dbas"):
+            _load("flexs.utils.VAE_utils", f"{base}/utils/VAE_utils.py")
+            mod = _load(
+                "flexs.baselines.explorers.cbas_dbas",
+                f"{base}/baselines/explorers/cbas_dbas.py",
+            )
+            # The paper fleet's exact VAE config
+            # (reference paper_code/cloud/runner.py:26-37).
+            g = mod.VAE(
+                seq_length=len(start),
+                alphabet="TGCA",
+                batch_size=100,
+                latent_dim=2,
+                intermediate_dim=250,
+                epochs=10,
+                epsilon_std=1.0,
+                beta=1,
+                validation_split=0,
+                verbose=False,
+            )
+            return landscape, model, mod.CbAS(
+                model, generator=g, algo=family, **common
+            )
         mod = _load(
             "flexs.baselines.explorers.random",
             f"{base}/baselines/explorers/random.py",
@@ -103,8 +134,15 @@ def main():
     for family in args.families:
         landscape, model, explorer = make(family)
         t0 = time.time()
+        c0 = time.process_time()
         df, _ = explorer.run(landscape, verbose=True)
         wall = time.time() - t0
+        cpu = time.process_time() - c0
+        # Conservative denominator under host contention: process-time is
+        # the idle-host wall-clock equivalent for this single-core path,
+        # and crediting the reference the SMALLER time shrinks the
+        # rebuild's reported multiple (see module docstring).
+        base_t = min(wall, cpu)
         seqs = int(model.cost + landscape.cost)
         results[family] = {
             "config": (
@@ -114,8 +152,9 @@ def main():
             "implementation": "reference samsinai/FLEXS @ /root/reference",
             "hardware": "this machine, single CPU core (reference is CPU-only)",
             "wall_clock_s": wall,
+            "process_time_s": cpu,
             "seqs_scored": seqs,
-            "seqs_per_sec": seqs / wall,
+            "seqs_per_sec": seqs / base_t,
             "top_fitness": float(df["true_score"].max()),
         }
         print(json.dumps({family: results[family]}, indent=2), flush=True)
