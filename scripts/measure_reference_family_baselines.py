@@ -98,6 +98,34 @@ def main():
             )
             return landscape, model, mod.DQN(model, device="cpu", **common)
         if family in ("cbas", "dbas"):
+            # The reference's VAE builds `keras.layers.Input(shape=(dim))`
+            # — an int, not a tuple (reference utils/VAE_utils.py:41,66).
+            # The keras versions the reference targeted coerced that; the
+            # one baked in here raises.  Shim Input to restore the old
+            # coercion — a compatibility fix, not a behavior change.
+            from tensorflow import keras
+
+            _orig_input = keras.layers.Input
+
+            def _input_compat(shape=None, **kw):
+                if isinstance(shape, int):
+                    shape = (shape,)
+                return _orig_input(shape=shape, **kw)
+
+            keras.layers.Input = _input_compat
+
+            # Same class of fix: the reference passes the pre-2.3 `lr=`
+            # alias to Adam (utils/VAE_utils.py), renamed to
+            # `learning_rate=` in the keras shipped here.
+            _orig_adam = keras.optimizers.Adam
+
+            class _AdamCompat(_orig_adam):
+                def __init__(self, *a, lr=None, **kw):
+                    if lr is not None:
+                        kw["learning_rate"] = lr
+                    super().__init__(*a, **kw)
+
+            keras.optimizers.Adam = _AdamCompat
             _load("flexs.utils.VAE_utils", f"{base}/utils/VAE_utils.py")
             mod = _load(
                 "flexs.baselines.explorers.cbas_dbas",
