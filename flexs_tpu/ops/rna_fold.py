@@ -80,6 +80,12 @@ from flexs_tpu.ops import rna_duplex
 
 _INF = np.float32(1e6)
 
+# Profiling knob (scripts/profile_fold.py): names a span-step cost center
+# to OMIT from the trace so its share of wall-clock can be measured by
+# deletion, duplex-falsification style.  None in production; the profile
+# script clears zuker_mfe's jit cache around each setting.
+_PROFILE_KNOCKOUT = None
+
 # Turner 2004 hairpin-loop initiation dG37 (kcal/mol) by loop size; sizes
 # 0-2 are sterically impossible.  Extended past 30 with the standard
 # 1.75*kT*ln(n/30) tail at model build time.
@@ -298,11 +304,14 @@ def zuker_mfe(tokens, em, maxloop: int = 16, min_hairpin: int = 3):
             (((tokens * 4 + tok_shift[1]) * 4 + tok_shift[2]) * 4
              + tok_shift[3]) * 4 + tok_s
         )
-        hp_special = jnp.where(
-            size == 4,
-            em["tetra"][tetra_idx],
-            jnp.where(size == 3, em["tri"][tri_idx], 0.0),
-        )
+        if _PROFILE_KNOCKOUT == "hairpin_special":
+            hp_special = 0.0
+        else:
+            hp_special = jnp.where(
+                size == 4,
+                em["tetra"][tetra_idx],
+                jnp.where(size == 3, em["tri"][tri_idx], 0.0),
+            )
         e_hairpin = jnp.where(
             size >= min_hairpin, hp + hp_mm + hp_special, big
         )
@@ -312,67 +321,78 @@ def zuker_mfe(tokens, em, maxloop: int = 16, min_hairpin: int = 3):
         # V(i+d1+1, i+s-d2-1) = vb[d1+d2+2, i - d2 - 1]: a static row pick
         # + static roll per window (wrapped windows land on +inf rows and
         # are masked by inner_ok below, as in the gather form).
-        v_inner = jnp.stack(
-            [
-                jnp.roll(vb[int(d1 + d2 + 2) % L], int(d2) + 1)
-                for d1, d2 in wins
-            ]
-        )  # [P, L]
+        if _PROFILE_KNOCKOUT == "interior":
+            e_two = jnp.full((L,), big)
+        else:
+            v_inner = jnp.stack(
+                [
+                    jnp.roll(vb[int(d1 + d2 + 2) % L], int(d2) + 1)
+                    for d1, d2 in wins
+                ]
+            )  # [P, L]
 
-        tok_k = tok_shift[d1s + 1]  # [P, L]: tokens[i+d1+1]
-        tok_l = tok_s_shift[d2s + 1]  # tokens[i+s-d2-1]
-        pt_in = pair_tbl[tok_k, tok_l]  # [P, L]
-        pt_in_rev = rev_pt[pt_in]
+            tok_k = tok_shift[d1s + 1]  # [P, L]: tokens[i+d1+1]
+            tok_l = tok_s_shift[d2s + 1]  # tokens[i+s-d2-1]
+            pt_in = pair_tbl[tok_k, tok_l]  # [P, L]
+            pt_in_rev = rev_pt[pt_in]
 
-        is_stack = ((d1s == 0) & (d2s == 0))[:, None]
-        bulge_n = jnp.maximum(d1s, d2s)
-        is_bulge = (((d1s == 0) | (d2s == 0)) & (bulge_n > 0))[:, None]
-        is_11 = ((d1s == 1) & (d2s == 1))[:, None]
+            is_stack = ((d1s == 0) & (d2s == 0))[:, None]
+            bulge_n = jnp.maximum(d1s, d2s)
+            is_bulge = (((d1s == 0) | (d2s == 0)) & (bulge_n > 0))[:, None]
+            is_11 = ((d1s == 1) & (d2s == 1))[:, None]
 
-        e_stack = em["stack"][pt[None, :], pt_in]
-        e_bulge = em["bulge_sizes"][jnp.clip(bulge_n, 0, max_bulge)][
-            :, None
-        ] + jnp.where(
-            (bulge_n == 1)[:, None],
-            e_stack,  # 1-bulges stack through (ViennaRNA E_IntLoop)
-            term_au * (weak[pt][None, :] + weak[pt_in]),
-        )
-        # Per-side interior mismatches: outer loop bases (i+1, i+s-1),
-        # inner loop bases (l+1 = i+s-d2, k-1 = i+d1).
-        mm_out = em["mA"][pt[None, :], b5[None, :], b3[None, :]]
-        mm_in = em["mB"][pt_in_rev, tok_s_shift[d2s], tok_shift[d1s]]
-        e_11 = em["int11"][pt[None, :], pt_in_rev, b5[None, :], b3[None, :]]
-        # interior_cost[d1+1, d2+1] = size curve + Ninio for (d1, d2)
-        # unpaired; +inf at bulge/stack/1x1 windows by construction.
-        e_int = em["interior_cost"][d1s + 1, d2s + 1][:, None] + mm_out + mm_in
-        e_loop = jnp.where(
-            is_stack,
-            e_stack,
-            jnp.where(is_bulge, e_bulge, jnp.where(is_11, e_11, e_int)),
-        )
-        inner_ok = ((s - (d1s + d2s + 2)) >= (min_hairpin + 1))[:, None]
-        e_two = jnp.min(jnp.where(inner_ok, e_loop + v_inner, big), axis=0)
+            e_stack = em["stack"][pt[None, :], pt_in]
+            e_bulge = em["bulge_sizes"][jnp.clip(bulge_n, 0, max_bulge)][
+                :, None
+            ] + jnp.where(
+                (bulge_n == 1)[:, None],
+                e_stack,  # 1-bulges stack through (ViennaRNA E_IntLoop)
+                term_au * (weak[pt][None, :] + weak[pt_in]),
+            )
+            # Per-side interior mismatches: outer loop bases (i+1, i+s-1),
+            # inner loop bases (l+1 = i+s-d2, k-1 = i+d1).
+            mm_out = em["mA"][pt[None, :], b5[None, :], b3[None, :]]
+            mm_in = em["mB"][pt_in_rev, tok_s_shift[d2s], tok_shift[d1s]]
+            e_11 = em["int11"][pt[None, :], pt_in_rev, b5[None, :], b3[None, :]]
+            # interior_cost[d1+1, d2+1] = size curve + Ninio for (d1, d2)
+            # unpaired; +inf at bulge/stack/1x1 windows by construction.
+            e_int = (
+                em["interior_cost"][d1s + 1, d2s + 1][:, None] + mm_out + mm_in
+            )
+            e_loop = jnp.where(
+                is_stack,
+                e_stack,
+                jnp.where(is_bulge, e_bulge, jnp.where(is_11, e_11, e_int)),
+            )
+            inner_ok = ((s - (d1s + d2s + 2)) >= (min_hairpin + 1))[:, None]
+            e_two = jnp.min(jnp.where(inner_ok, e_loop + v_inner, big), axis=0)
 
         # ---- multiloop closure: a + b + AU + split into two fML ------
         # Left fML(i+1, i+1+p) + right fML(i+2+p, i+s-1) over p; the two
         # >=1-branch segments give the >=2 interior branches a multiloop
         # needs (the closing helix is the third).
-        md_left = jnp.roll(Md, -1, axis=1)  # [p, i] = fML(i+1, i+1+p)
-        # fML(i+2+p, i+s-1) = Msh[(s-3-p) % L, (i+s-1) % L]: one column
-        # roll shared by every p, then flip+roll realigns the rows.
-        md_cols = jnp.roll(Msh, -((s - 1) % L), axis=1)
-        md_right = jnp.roll(
-            md_cols[::-1], -((L + 2 - s) % L), axis=0
-        )  # [p, i]
-        # Explicit split bound: p > s - 3 wraps rows_r back onto already
-        # computed spans (overlapping segments) — mask, don't rely on inf.
-        split_ok = (idx <= s - 3)[:, None]
-        ml_split = jnp.min(jnp.where(split_ok, md_left + md_right, big), axis=0)
-        # dangles=2 closing-pair mismatch: the multiloop sees the closing
-        # helix as the reversed pair (j, i) with loop-adjacent bases
-        # (j-1, i+1).
-        mm_ml_close = em["mA"][rev_pt[pt], b3, b5]
-        e_ml = ml_a + ml_b + term_au * weak[pt] + mm_ml_close + ml_split
+        if _PROFILE_KNOCKOUT == "multiloop":
+            e_ml = jnp.full((L,), big)
+        else:
+            md_left = jnp.roll(Md, -1, axis=1)  # [p, i] = fML(i+1, i+1+p)
+            # fML(i+2+p, i+s-1) = Msh[(s-3-p) % L, (i+s-1) % L]: one
+            # column roll shared by every p, then flip+roll realigns rows.
+            md_cols = jnp.roll(Msh, -((s - 1) % L), axis=1)
+            md_right = jnp.roll(
+                md_cols[::-1], -((L + 2 - s) % L), axis=0
+            )  # [p, i]
+            # Explicit split bound: p > s - 3 wraps rows_r back onto
+            # already computed spans (overlapping segments) — mask, don't
+            # rely on inf.
+            split_ok = (idx <= s - 3)[:, None]
+            ml_split = jnp.min(
+                jnp.where(split_ok, md_left + md_right, big), axis=0
+            )
+            # dangles=2 closing-pair mismatch: the multiloop sees the
+            # closing helix as the reversed pair (j, i) with loop-adjacent
+            # bases (j-1, i+1).
+            mm_ml_close = em["mA"][rev_pt[pt], b3, b5]
+            e_ml = ml_a + ml_b + term_au * weak[pt] + mm_ml_close + ml_split
 
         v_new = jnp.where(
             pairable, jnp.minimum(e_hairpin, jnp.minimum(e_two, e_ml)), big
@@ -386,20 +406,25 @@ def zuker_mfe(tokens, em, maxloop: int = 16, min_hairpin: int = 3):
         # prefix(i, 0) = 0; prefix(i, t) = min(fML(i, i+t-1), c * t).
         # v_branch[t, i] = V(i+t, i+s) is exactly vb, except its t = 0 row
         # predates this step's V write — patch it with the fresh row.
-        v_branch = vb.at[0].set(v_row)  # [t, i]
-        tok_t = tokens[col_plus]  # tokens[(i+t) % L]
-        pt_br = pair_tbl[tok_t, tok_s[None, :]]
-        au_br = term_au * weak[pt_br]
-        # dangles=2 branch mismatch: branch (i+t, i+s) flanked by
-        # (i+t-1, i+s+1) — always real bases in every multiloop context
-        # this fML cell is used in (the mod-L wrap only fires on cells no
-        # valid decomposition reads).
-        tok_j1 = jnp.roll(tokens, -(s + 1))  # tokens[(i+s+1) % L]
-        tok_tm1 = tokens[(col_plus + L - 1) % L]  # tokens[(i+t-1) % L]
-        mm_br = em["mA"][rev_pt[pt_br], tok_j1[None, :], tok_tm1]
-        prefix = jnp.minimum(jnp.roll(Md, 1, axis=0), ml_c * idx[:, None])
-        prefix = jnp.where((idx == 0)[:, None], 0.0, prefix)
-        m_branch = jnp.min(prefix + v_branch + ml_b + au_br + mm_br, axis=0)
+        if _PROFILE_KNOCKOUT == "lastbranch":
+            m_branch = jnp.full((L,), big)
+        else:
+            v_branch = vb.at[0].set(v_row)  # [t, i]
+            tok_t = tokens[col_plus]  # tokens[(i+t) % L]
+            pt_br = pair_tbl[tok_t, tok_s[None, :]]
+            au_br = term_au * weak[pt_br]
+            # dangles=2 branch mismatch: branch (i+t, i+s) flanked by
+            # (i+t-1, i+s+1) — always real bases in every multiloop
+            # context this fML cell is used in (the mod-L wrap only fires
+            # on cells no valid decomposition reads).
+            tok_j1 = jnp.roll(tokens, -(s + 1))  # tokens[(i+s+1) % L]
+            tok_tm1 = tokens[(col_plus + L - 1) % L]  # tokens[(i+t-1) % L]
+            mm_br = em["mA"][rev_pt[pt_br], tok_j1[None, :], tok_tm1]
+            prefix = jnp.minimum(jnp.roll(Md, 1, axis=0), ml_c * idx[:, None])
+            prefix = jnp.where((idx == 0)[:, None], 0.0, prefix)
+            m_branch = jnp.min(
+                prefix + v_branch + ml_b + au_br + mm_br, axis=0
+            )
         m_unpaired_j = Md[(s - 1) % L] + ml_c
         m_new = jnp.minimum(m_unpaired_j, m_branch)
         m_row = jnp.where(valid_i, m_new, big)
