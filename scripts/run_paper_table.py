@@ -53,6 +53,11 @@ def main():
         choices=sorted(REFERENCE),
     )
     parser.add_argument("--starts", type=int, default=5)
+    parser.add_argument(
+        "--start-offset", type=int, default=0,
+        help="skip the first N reference starts (split one table row "
+        "across processes: --start-offset 1 --starts 2 runs starts 2-3)",
+    )
     parser.add_argument("--rounds", type=int, default=10)
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     parser.add_argument(
@@ -90,7 +95,9 @@ def main():
     from flexs_tpu.utils.vae import VAE
 
     problem = rosetta.registry()["3msi"]
-    starts = list(problem["starts"].values())[: args.starts]
+    starts = list(problem["starts"].values())[
+        args.start_offset : args.start_offset + args.starts
+    ]
     common = dict(
         rounds=args.rounds,
         sequences_batch_size=100,
