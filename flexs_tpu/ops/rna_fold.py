@@ -64,11 +64,32 @@ layout (`Xsh[r, c] = X_diag[r, (c - r) % L]`) where each read family
 costs one dynamic roll + static flip + dynamic roll — plain slice/copy
 ops — instead of the [P, L] / [L, L] arbitrary gathers XLA scalarizes
 on TPU (the gather form measured 9.6 s/batch at B=512 L=50; see the
-BASELINE.md fold-throughput row for the A/B).  No data-dependent
-control flow, so the program jits once per length bucket and vmaps over
-batches.  Uncomputed diagonals stay at +inf, which makes every wrapped
-(mod-L) read outside the valid triangle saturate instead of
-contaminating the min-plus algebra.
+BASELINE.md fold-throughput row for the A/B).
+
+Round-5 reformulation (the BASELINE.md fold-row design note, same trick
+as the duplex oracle's trigram slabs): every sequence-dependent energy
+term in the recursion is a pure function of at most three consecutive
+bases on each side of one pair — e.g. the generic-interior inner
+mismatch is mB[rev(pt(k, l)), t[l+1], t[k-1]], a function of (k, l)
+alone.  So instead of gathering [P, L] small-table lookups per span
+step (the measured 84% cost center, ~2 us/element under XLA's scalar
+gather lowering), `_fold_seq_tables` contracts each term ONCE per call
+as a one-hot-channel product — T(i, j) = ohL(i) . C . ohR(j) with C a
+static [<=64, <=64] matrix precomputed from the energy tables — and
+materializes it in the exact layout its consumer needs: diagonal rows
+for outer-pair terms, the V-style shifted layout for inner-pair /
+branch terms, standard [L, L] for the exterior loop.  One-hot
+contractions at Precision.HIGHEST select exactly one table entry per
+output, so the values are BIT-IDENTICAL to the gather formulation
+(pinned by the enumeration/NumPy-Zuker tests).  The span scan then
+performs no data-dependent gathers at all: per step it realigns the
+shifted tensors (two rolls + a flip, like V itself) and reads one
+diagonal row per outer term.
+
+No data-dependent control flow, so the program jits once per length
+bucket and vmaps over batches.  Uncomputed diagonals stay at +inf,
+which makes every wrapped (mod-L) read outside the valid triangle
+saturate instead of contaminating the min-plus algebra.
 """
 from functools import partial
 
@@ -224,6 +245,158 @@ def _interior_windows(maxloop: int):
     return np.array(wins, dtype=np.int32)
 
 
+def _contraction_mats(em):
+    """Static [left, right] one-hot contraction matrices per energy term.
+
+    Left keys pack consecutive bases at the 5' position (i or k), right
+    keys at the 3' position (j or l); each C entry is the exact energy
+    the gather formulation would have looked up for that base combo.
+    Index grids are static numpy, so these are constant-shaped small
+    gathers folded at compile time.
+    """
+    PT = rna_duplex.PAIR_TABLE  # np [4, 4] -> pair type 0..6
+    REV = _REV_PT
+    weak = rna_duplex.WEAK_PAIR
+    term_au = em["consts"][3]
+
+    l2 = np.arange(16)
+    x2, a2 = l2[:, None] // 4, l2[:, None] % 4  # left: t[i]*4 + t[i+1]
+    b2, y2 = l2[None, :] // 4, l2[None, :] % 4  # right: t[j-1]*4 + t[j]
+    m2, xk = l2[:, None] // 4, l2[:, None] % 4  # left: t[k-1]*4 + t[k]
+    yl, n2 = l2[None, :] // 4, l2[None, :] % 4  # right: t[l]*4 + t[l+1]
+    l3 = np.arange(64)
+    x3, a3, c3 = l3[:, None] // 16, (l3[:, None] // 4) % 4, l3[:, None] % 4
+    d3_, e3_, y3 = l3[None, :] // 16, (l3[None, :] // 4) % 4, l3[None, :] % 4
+    l1 = np.arange(4)
+
+    au44 = term_au * jnp.asarray(weak[PT], jnp.float32)  # [4, 4]
+    return {
+        # outer-pair terms T(i, j): left bases around i, right around j
+        "ptpos": jnp.asarray((PT > 0).astype(np.float32)),
+        "au": au44,
+        "mmA": em["mA"][PT[x2, y2], a2, b2],
+        "mmclose": em["mA"][REV[PT[x2, y2]], b2, a2],
+        "stack00": em["stack"][PT[x2, y2], PT[a2, b2]],
+        "stack_b10": em["stack"][PT[x2, y2], PT[a2, b2]],  # left packs t[i],t[i+2]
+        "stack_b01": em["stack"][PT[x2, y2], PT[a2, b2]],  # right packs t[j-2],t[j]
+        # e11(i,j) = int11[pt(i,j), rev(pt(i+2,j-2)), t[i+1], t[j-1]]
+        "e11": em["int11"][PT[x3, y3], REV[PT[c3, d3_]], a3, e3_],
+        # inner-pair / branch terms T(k, l)
+        "mmB": em["mB"][REV[PT[xk, yl]], n2, m2],
+        "mmbr": em["mA"][REV[PT[xk, yl]], n2, m2],
+        # exterior-loop boundary dangles
+        "d5": em["mA_d5"][REV[PT[l1[:, None], yl]], n2],
+        "d3": em["mA_d3"][REV[PT[xk, l1[None, :]]], m2],
+    }
+
+
+def _fold_seq_tables(tokens, em, L):
+    """Per-sequence energy tables, one one-hot contraction each.
+
+    Returns (OUTd [8, L, L] diagonal layout for outer-pair terms,
+    INsh [3, L, L] V-style shifted layout for inner/branch terms,
+    STD [4, L, L] standard layout for the exterior loop,
+    tetra_row [L], tri_row [L]).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    C = _contraction_mats(em)
+
+    oh = (tokens[:, None] == jnp.arange(4)).astype(jnp.float32)  # [L, 4]
+    oh_p1 = jnp.roll(oh, -1, axis=0)  # base at +1
+    oh_p2 = jnp.roll(oh, -2, axis=0)
+    oh_m1 = jnp.roll(oh, 1, axis=0)  # base at -1
+    oh_m2 = jnp.roll(oh, 2, axis=0)
+
+    def combo(*ohs):
+        out = ohs[0]
+        for o in ohs[1:]:
+            out = (out[:, :, None] * o[:, None, :]).reshape(L, -1)
+        return out
+
+    c_p1 = combo(oh, oh_p1)  # t[i]*4 + t[i+1]  (also t[j]*4 + t[j+1])
+    c_p2 = combo(oh, oh_p2)  # t[i]*4 + t[i+2]
+    c_m1 = combo(oh_m1, oh)  # t[i-1]*4 + t[i]  (also t[j-1]*4 + t[j])
+    c_m2 = combo(oh_m2, oh)  # t[j-2]*4 + t[j]
+    c_l3 = combo(oh, oh_p1, oh_p2)  # t[i]*16 + t[i+1]*4 + t[i+2]
+    c_r3 = combo(oh_m2, oh_m1, oh)  # t[j-2]*16 + t[j-1]*4 + t[j]
+
+    def A(left, Cmat):  # A[i, r] = C[leftkey(i), r], exact at HIGHEST
+        return jnp.einsum("ik,kr->ir", left, Cmat, precision=hi)
+
+    # (left-contracted matrix, right combo) per table, in consumer order.
+    outer = [
+        (A(oh, C["ptpos"]), oh),
+        (A(oh, C["au"]), oh),
+        (A(c_p1, C["mmA"]), c_m1),
+        (A(c_p1, C["mmclose"]), c_m1),
+        (A(c_p1, C["stack00"]), c_m1),
+        (A(c_p2, C["stack_b10"]), c_m1),
+        (A(c_p1, C["stack_b01"]), c_m2),
+        (A(c_l3, C["e11"]), c_r3),
+    ]
+    inner = [
+        (A(oh, C["au"]), oh),
+        (A(c_m1, C["mmB"]), c_p1),
+        (A(c_m1, C["mmbr"]), c_p1),
+    ]
+
+    # Diagonal rows D[s, i] = T(i, (i+s) % L) come from rolling the
+    # right-side combo channels by -s; shifted rows are the same rows
+    # rolled by +s (exactly how the span scan writes Vsh).
+    OHR = jnp.concatenate([r for _, r in outer] + [r for _, r in inner], 1)
+    r_slices, off = [], 0
+    for _, r in outer + inner:
+        r_slices.append((off, r.shape[1]))
+        off += r.shape[1]
+
+    def build_step(carry, s):
+        OUTd, INsh = carry
+        ohr = jnp.roll(OHR, -s, axis=0)
+        rows = [
+            jnp.einsum(
+                "ic,ic->i",
+                a,
+                jax.lax.dynamic_slice_in_dim(ohr, o, w, axis=1),
+                precision=hi,
+            )
+            for (a, _), (o, w) in zip(outer + inner, r_slices)
+        ]
+        OUTd = OUTd.at[:, s].set(jnp.stack(rows[: len(outer)]))
+        INsh = INsh.at[:, s].set(
+            jnp.roll(jnp.stack(rows[len(outer) :]), s, axis=1)
+        )
+        return (OUTd, INsh), None
+
+    init = (jnp.zeros((len(outer), L, L)), jnp.zeros((len(inner), L, L)))
+    (OUTd, INsh), _ = jax.lax.scan(
+        build_step, init, jnp.arange(L, dtype=jnp.int32)
+    )
+
+    # Standard-layout tables for the exterior loop (read as columns):
+    # au, full two-sided mmext (== the branch-mismatch function), and
+    # the one-sided boundary dangles.
+    def std(left, Cmat, right):
+        return jnp.einsum("ik,kr,jr->ij", left, Cmat, right, precision=hi)
+
+    STD = jnp.stack(
+        [
+            std(oh, C["au"], oh),
+            std(c_m1, C["mmbr"], c_p1),  # mA[rev(pt), t[j+1], t[i-1]]
+            std(oh, C["d5"], c_p1),
+            std(c_m1, C["d3"], oh),
+        ]
+    )
+
+    # Special-hairpin content codes only matter at spans 4 and 5.
+    tp = [jnp.roll(tokens, -k) for k in range(6)]
+    code6 = (
+        ((((tp[0] * 4 + tp[1]) * 4 + tp[2]) * 4 + tp[3]) * 4 + tp[4]) * 4
+        + tp[5]
+    )
+    code5 = (((tp[0] * 4 + tp[1]) * 4 + tp[2]) * 4 + tp[3]) * 4 + tp[4]
+    return OUTd, INsh, STD, em["tetra"][code6], em["tri"][code5]
+
+
 @partial(jax.jit, static_argnames=("maxloop", "min_hairpin"))
 def zuker_mfe(tokens, em, maxloop: int = 16, min_hairpin: int = 3):
     """MFE (kcal/mol, <= 0) of one int32[L] RNA token row.
@@ -233,9 +406,6 @@ def zuker_mfe(tokens, em, maxloop: int = 16, min_hairpin: int = 3):
     second scan over positions.
     """
     L = tokens.shape[0]
-    pair_tbl = jnp.asarray(rna_duplex.PAIR_TABLE)
-    weak = jnp.asarray(rna_duplex.WEAK_PAIR)
-    rev_pt = jnp.asarray(_REV_PT)
     ml_a, ml_b, ml_c, term_au = (em["consts"][k] for k in range(4))
     max_bulge = em["bulge_sizes"].shape[0] - 1
 
@@ -244,13 +414,11 @@ def zuker_mfe(tokens, em, maxloop: int = 16, min_hairpin: int = 3):
     d2s = jnp.asarray(wins[:, 1])
 
     idx = jnp.arange(L)
-    # tok_shift[k, i] = tokens[(i + k) % L] for the static 5'-side offsets.
-    tok_shift = jnp.stack([jnp.roll(tokens, -k) for k in range(maxloop + 2)])
-    # col_plus[t, i] = (i + t) % L — shared gather columns for the O(L)
-    # split/branch reductions.
-    col_plus = (idx[None, :] + idx[:, None]) % L
-
     big = jnp.float32(_INF)
+
+    # Every sequence-dependent lookup, contracted once (module docstring).
+    OUTd, INsh, STD, tetra_row, tri_row = _fold_seq_tables(tokens, em, L)
+    n_out = OUTd.shape[0]
 
     # V is carried ONLY in a span-relative "shifted" layout,
     #   Vsh[r, c] = V_diag[r, (c - r) % L]   (V_diag[s, i] = V(i, i+s)),
@@ -273,44 +441,37 @@ def zuker_mfe(tokens, em, maxloop: int = 16, min_hairpin: int = 3):
         vb = jnp.roll(
             jnp.roll(Vsh, -s, axis=1)[::-1], -((L - 1 - s) % L), axis=0
         )
-
-        tok_s = jnp.roll(tokens, -s)  # tokens[(i+s) % L]
-        # tok_s_shift[m, i] = tokens[(i + s - m) % L] for m = 0..maxloop+1
-        # (3'-side neighbors of the interior windows).
-        tok_s_shift = jnp.stack(
-            [jnp.roll(tok_s, m) for m in range(maxloop + 2)]
+        # Same realignment for the inner-pair/branch energy tables:
+        # inb[c, t, i] = T_c(i + t, i + s).
+        inb = jnp.roll(
+            jnp.roll(INsh, -s, axis=2)[:, ::-1, :],
+            -((L - 1 - s) % L),
+            axis=1,
         )
-        pt = pair_tbl[tokens, tok_s]  # closing pair type of (i, i+s)
-        pairable = (pt > 0) & valid_i
+        au_inner, mmB_inner, mmbr_inner = inb[0], inb[1], inb[2]
+
+        # Outer-pair term rows at span s (diagonal layout, one slice).
+        rows = jax.lax.dynamic_slice(OUTd, (0, s, 0), (n_out, 1, L))[:, 0]
+        (ptpos_r, au_r, mmA_r, mmclose_r, stack00_r, stack_b10_r,
+         stack_b01_r, e11_r) = rows
+        pairable = (ptpos_r > 0.5) & valid_i
 
         # ---- hairpin: loop size = s - 1 ------------------------------
         size = s - 1
         hp = em["hairpin_sizes"][jnp.clip(size, 0, _MAX_HAIRPIN_TABLE)]
-        b5 = tok_shift[1]  # tokens[i+1]
-        b3 = tok_s_shift[1]  # tokens[i+s-1]
         hp_mm = jnp.where(
             size > min_hairpin,
-            em["mA"][pt, b5, b3],  # closing mismatch (approximation)
-            term_au * weak[pt],  # size-3 loops: terminal AU only
+            mmA_r,  # closing mismatch (approximation)
+            au_r,  # size-3 loops: terminal AU only
         )
-        # Special-hairpin bonuses: content-addressed closing-base + loop
-        # lookup (tetraloop families at size 4, the two Turner triloops
-        # at size 3).  The 6-/5-mer codes are cheap per-position gathers.
-        tetra_idx = (
-            ((((tokens * 4 + tok_shift[1]) * 4 + tok_shift[2]) * 4
-              + tok_shift[3]) * 4 + tok_shift[4]) * 4 + tok_s
-        )
-        tri_idx = (
-            (((tokens * 4 + tok_shift[1]) * 4 + tok_shift[2]) * 4
-             + tok_shift[3]) * 4 + tok_s
-        )
+        # Special-hairpin bonuses (tetraloop families at size 4, the two
+        # Turner triloops at size 3): content rows precomputed at their
+        # only valid spans.
         if _PROFILE_KNOCKOUT == "hairpin_special":
             hp_special = 0.0
         else:
             hp_special = jnp.where(
-                size == 4,
-                em["tetra"][tetra_idx],
-                jnp.where(size == 3, em["tri"][tri_idx], 0.0),
+                size == 4, tetra_row, jnp.where(size == 3, tri_row, 0.0)
             )
         e_hairpin = jnp.where(
             size >= min_hairpin, hp + hp_mm + hp_special, big
@@ -320,49 +481,57 @@ def zuker_mfe(tokens, em, maxloop: int = 16, min_hairpin: int = 3):
         # Inner pair (i + d1 + 1, i + s - d2 - 1), span s' = s - d1 - d2 - 2.
         # V(i+d1+1, i+s-d2-1) = vb[d1+d2+2, i - d2 - 1]: a static row pick
         # + static roll per window (wrapped windows land on +inf rows and
-        # are masked by inner_ok below, as in the gather form).
+        # are masked by inner_ok below, as in the gather form); the
+        # inner-side au/mmB tables ride the same picks.
         if _PROFILE_KNOCKOUT == "interior":
             e_two = jnp.full((L,), big)
         else:
-            v_inner = jnp.stack(
+            vmm = jnp.stack([vb, au_inner, mmB_inner])  # [3, L, L]
+            rolled = jnp.stack(
                 [
-                    jnp.roll(vb[int(d1 + d2 + 2) % L], int(d2) + 1)
+                    jnp.roll(
+                        vmm[:, int(d1 + d2 + 2) % L], int(d2) + 1, axis=-1
+                    )
                     for d1, d2 in wins
                 ]
-            )  # [P, L]
-
-            tok_k = tok_shift[d1s + 1]  # [P, L]: tokens[i+d1+1]
-            tok_l = tok_s_shift[d2s + 1]  # tokens[i+s-d2-1]
-            pt_in = pair_tbl[tok_k, tok_l]  # [P, L]
-            pt_in_rev = rev_pt[pt_in]
+            )  # [P, 3, L]
+            v_inner = rolled[:, 0]
+            au_in = rolled[:, 1]
+            mm_in = rolled[:, 2]
 
             is_stack = ((d1s == 0) & (d2s == 0))[:, None]
             bulge_n = jnp.maximum(d1s, d2s)
             is_bulge = (((d1s == 0) | (d2s == 0)) & (bulge_n > 0))[:, None]
             is_11 = ((d1s == 1) & (d2s == 1))[:, None]
 
-            e_stack = em["stack"][pt[None, :], pt_in]
+            # 1-bulges stack through (ViennaRNA E_IntLoop): the stacked
+            # inner pair skips the bulged base, so its table depends on
+            # which side bulges.
+            stack_thru = jnp.where(
+                (d1s == 1)[:, None], stack_b10_r[None, :], stack_b01_r[None, :]
+            )
             e_bulge = em["bulge_sizes"][jnp.clip(bulge_n, 0, max_bulge)][
                 :, None
             ] + jnp.where(
                 (bulge_n == 1)[:, None],
-                e_stack,  # 1-bulges stack through (ViennaRNA E_IntLoop)
-                term_au * (weak[pt][None, :] + weak[pt_in]),
+                stack_thru,
+                au_r[None, :] + au_in,
             )
-            # Per-side interior mismatches: outer loop bases (i+1, i+s-1),
-            # inner loop bases (l+1 = i+s-d2, k-1 = i+d1).
-            mm_out = em["mA"][pt[None, :], b5[None, :], b3[None, :]]
-            mm_in = em["mB"][pt_in_rev, tok_s_shift[d2s], tok_shift[d1s]]
-            e_11 = em["int11"][pt[None, :], pt_in_rev, b5[None, :], b3[None, :]]
             # interior_cost[d1+1, d2+1] = size curve + Ninio for (d1, d2)
             # unpaired; +inf at bulge/stack/1x1 windows by construction.
             e_int = (
-                em["interior_cost"][d1s + 1, d2s + 1][:, None] + mm_out + mm_in
+                em["interior_cost"][d1s + 1, d2s + 1][:, None]
+                + mmA_r[None, :]
+                + mm_in
             )
             e_loop = jnp.where(
                 is_stack,
-                e_stack,
-                jnp.where(is_bulge, e_bulge, jnp.where(is_11, e_11, e_int)),
+                stack00_r[None, :],
+                jnp.where(
+                    is_bulge,
+                    e_bulge,
+                    jnp.where(is_11, e11_r[None, :], e_int),
+                ),
             )
             inner_ok = ((s - (d1s + d2s + 2)) >= (min_hairpin + 1))[:, None]
             e_two = jnp.min(jnp.where(inner_ok, e_loop + v_inner, big), axis=0)
@@ -391,8 +560,7 @@ def zuker_mfe(tokens, em, maxloop: int = 16, min_hairpin: int = 3):
             # dangles=2 closing-pair mismatch: the multiloop sees the
             # closing helix as the reversed pair (j, i) with loop-adjacent
             # bases (j-1, i+1).
-            mm_ml_close = em["mA"][rev_pt[pt], b3, b5]
-            e_ml = ml_a + ml_b + term_au * weak[pt] + mm_ml_close + ml_split
+            e_ml = ml_a + ml_b + au_r + mmclose_r + ml_split
 
         v_new = jnp.where(
             pairable, jnp.minimum(e_hairpin, jnp.minimum(e_two, e_ml)), big
@@ -410,20 +578,15 @@ def zuker_mfe(tokens, em, maxloop: int = 16, min_hairpin: int = 3):
             m_branch = jnp.full((L,), big)
         else:
             v_branch = vb.at[0].set(v_row)  # [t, i]
-            tok_t = tokens[col_plus]  # tokens[(i+t) % L]
-            pt_br = pair_tbl[tok_t, tok_s[None, :]]
-            au_br = term_au * weak[pt_br]
-            # dangles=2 branch mismatch: branch (i+t, i+s) flanked by
+            # dangles=2 branch terms for branch (i+t, i+s), flanked by
             # (i+t-1, i+s+1) — always real bases in every multiloop
             # context this fML cell is used in (the mod-L wrap only fires
-            # on cells no valid decomposition reads).
-            tok_j1 = jnp.roll(tokens, -(s + 1))  # tokens[(i+s+1) % L]
-            tok_tm1 = tokens[(col_plus + L - 1) % L]  # tokens[(i+t-1) % L]
-            mm_br = em["mA"][rev_pt[pt_br], tok_j1[None, :], tok_tm1]
+            # on cells no valid decomposition reads).  Both ride the
+            # shared inner-table realignment.
             prefix = jnp.minimum(jnp.roll(Md, 1, axis=0), ml_c * idx[:, None])
             prefix = jnp.where((idx == 0)[:, None], 0.0, prefix)
             m_branch = jnp.min(
-                prefix + v_branch + ml_b + au_br + mm_br, axis=0
+                prefix + v_branch + ml_b + au_inner + mmbr_inner, axis=0
             )
         m_unpaired_j = Md[(s - 1) % L] + ml_c
         m_new = jnp.minimum(m_unpaired_j, m_branch)
@@ -441,30 +604,23 @@ def zuker_mfe(tokens, em, maxloop: int = 16, min_hairpin: int = 3):
     )
 
     # ---- external loop -------------------------------------------------
-    pt_ext = pair_tbl[tokens[:, None], tokens[None, :]]  # [i, j]
-
     def ext_step(W, j):
         # W[k] = MFE of the prefix [0, k); unpaired j extends for free.
         # V(i, j) = Vsh[(j-i) % L, j]: one dynamic column slice, then a
         # flip+roll row realignment (i == j lands on the +inf span-0 row).
         col_j = jax.lax.dynamic_slice(Vsh, (0, j), (L, 1))[:, 0]
         v_col = jnp.roll(col_j[::-1], -((L - 1 - j) % L))
-        pt_col = pt_ext[:, j]
-        au = term_au * weak[pt_col]
         # dangles=2 exterior mismatch on branch (i, j): flanking bases
         # (i-1, j+1) when both exist; base-averaged one-sided dangles at
-        # the sequence boundaries.
-        rev_e = rev_pt[pt_col]
-        tok_im1 = tokens[(idx + L - 1) % L]
-        tok_jp1 = tokens[(j + 1) % L]
+        # the sequence boundaries.  au/mm come as columns of the
+        # standard-layout precomputed tables.
+        au, mm_full, mm_d5, mm_d3 = jax.lax.dynamic_slice(
+            STD, (0, 0, j), (4, L, 1)
+        )[:, :, 0]
         mm_ext = jnp.where(
             idx > 0,
-            jnp.where(
-                j < L - 1,
-                em["mA"][rev_e, tok_jp1, tok_im1],
-                em["mA_d3"][rev_e, tok_im1],
-            ),
-            jnp.where(j < L - 1, em["mA_d5"][rev_e, tok_jp1], 0.0),
+            jnp.where(j < L - 1, mm_full, mm_d3),
+            jnp.where(j < L - 1, mm_d5, 0.0),
         )
         cand = jnp.where(idx <= j, W[idx] + v_col + au + mm_ext, big)
         w_new = jnp.minimum(W[j], jnp.min(cand))
